@@ -1,0 +1,228 @@
+"""High-level CLIP encoder — the L1 model-wrapper interface.
+
+Mirrors the reference's public surface (``load_clip_model``, ``encode_image``,
+``encode_text`` returning L2-normalized 512-d float32 vectors,
+ref:models/clip_model.py:37-150) on top of the from-scratch JAX towers.
+
+TPU-first details the reference lacks:
+- encode paths are jit-compiled once per batch-size bucket (powers of two):
+  static shapes for XLA, no per-call retrace, padded batches sliced on exit;
+- one encoder instance is shared by finder+seeker services (the reference
+  loaded the full model twice, ref:src/api/main.py:52-62);
+- optional bf16 compute with fp32 accumulation (parity mode keeps fp32).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from clip_lora_match_tpu.core.config import ClipArchConfig, ClipConfig, load_clip_config
+from clip_lora_match_tpu.models import clip as clip_model
+from clip_lora_match_tpu.models.io import load_params, save_params
+from clip_lora_match_tpu.preprocess.pipeline import ClipPreprocessor
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+class ClipEncoder:
+    """Stateful convenience wrapper around the functional CLIP model."""
+
+    def __init__(
+        self,
+        params,
+        arch: ClipArchConfig | None = None,
+        config: ClipConfig | None = None,
+        lora=None,
+        lora_scaling: float = 1.0,
+        compute_dtype: Optional[str] = None,
+    ):
+        self.cfg = config or ClipConfig()
+        self.arch = arch or self.cfg.arch
+        self.params = params
+        self.lora = lora
+        self.lora_scaling = lora_scaling
+        dt = compute_dtype or (None if self.cfg.dtype == "float32" else self.cfg.dtype)
+        self.compute_dtype = jnp.dtype(dt) if dt not in (None, "float32") else None
+        self.preprocessor = ClipPreprocessor(config=self.cfg)
+        self.eot_id = self.preprocessor.tokenizer.eot_id
+        self._jit_cache: dict = {}
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        config_path: Optional[str] = None,
+        weights_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        seed: int = 0,
+    ) -> "ClipEncoder":
+        """Build from YAML config; loads .npz weights when given/found, else
+        random-inits (with a warning — no silent pretenses of pretraining).
+
+        Missing LoRA path warns and continues with base weights, matching
+        ref:models/clip_model.py:74-75.
+        """
+        cfg = load_clip_config(config_path)
+        arch = cfg.arch
+        if weights_path and os.path.exists(weights_path):
+            params = load_params(weights_path)
+        else:
+            if weights_path:
+                warnings.warn(f"weights not found at {weights_path}; random init")
+            else:
+                warnings.warn("no weights_path given; using random initialization")
+            params = clip_model.init_params(jax.random.PRNGKey(seed), arch)
+        enc = cls(params, arch=arch, config=cfg)
+        if lora_path:
+            from clip_lora_match_tpu.lora.adapter import load_lora
+
+            if os.path.exists(lora_path):
+                lora_params, scaling = load_lora(lora_path)
+                enc.lora, enc.lora_scaling = lora_params, scaling
+            else:
+                warnings.warn(f"LoRA weights not found at {lora_path}; using base model")
+        return enc
+
+    # -- LoRA -----------------------------------------------------------------
+
+    def attach_lora(self, lora_params, scaling: float) -> None:
+        self.lora = lora_params
+        self.lora_scaling = scaling
+        self._jit_cache.clear()
+
+    def merge_lora(self) -> None:
+        """Fold the adapter into the base weights (W' = W + s·A@B) and drop it."""
+        from clip_lora_match_tpu.lora.adapter import merge_lora
+
+        if self.lora is not None:
+            self.params = merge_lora(self.params, self.lora, self.lora_scaling)
+            self.lora = None
+            self._jit_cache.clear()
+
+    # -- compiled kernels ------------------------------------------------------
+
+    def _image_fn(self):
+        key = ("img", self.lora is not None)
+        if key not in self._jit_cache:
+
+            @partial(jax.jit, static_argnames=())
+            def fn(params, lora, pixel_values):
+                feats = clip_model.encode_image_features(
+                    params,
+                    pixel_values,
+                    self.arch,
+                    lora=lora,
+                    lora_scaling=self.lora_scaling,
+                    compute_dtype=self.compute_dtype,
+                )
+                return clip_model.l2_normalize(feats).astype(jnp.float32)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _text_fn(self):
+        key = ("txt", self.lora is not None)
+        if key not in self._jit_cache:
+
+            @partial(jax.jit, static_argnames=())
+            def fn(params, lora, input_ids, attention_mask):
+                feats = clip_model.encode_text_features(
+                    params,
+                    input_ids,
+                    self.arch,
+                    attention_mask=attention_mask,
+                    eot_id=self.eot_id,
+                    lora=lora,
+                    lora_scaling=self.lora_scaling,
+                    compute_dtype=self.compute_dtype,
+                )
+                return clip_model.l2_normalize(feats).astype(jnp.float32)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    # -- batched encode (bucketed static shapes) --------------------------------
+
+    def encode_image_batch(self, pixel_values: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """(N, H, W, 3) float32 → (N, 512) float32 embeddings."""
+        n = pixel_values.shape[0]
+        if n == 0:
+            return np.zeros((0, self.arch.projection_dim), np.float32)
+        b = _bucket(n)
+        if b != n:
+            pad = np.zeros((b - n,) + pixel_values.shape[1:], pixel_values.dtype)
+            pixel_values = np.concatenate([pixel_values, pad])
+        out = self._image_fn()(self.params, self.lora, jnp.asarray(pixel_values))
+        out = np.asarray(out[:n])
+        return out if normalize else out  # already normalized; kept for API parity
+
+    def encode_text_batch(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: Optional[np.ndarray] = None,
+        normalize: bool = True,
+    ) -> np.ndarray:
+        n = input_ids.shape[0]
+        if n == 0:
+            return np.zeros((0, self.arch.projection_dim), np.float32)
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        b = _bucket(n)
+        if b != n:
+            pad_ids = np.full((b - n, input_ids.shape[1]), self.eot_id, input_ids.dtype)
+            pad_mask = np.zeros((b - n, input_ids.shape[1]), attention_mask.dtype)
+            input_ids = np.concatenate([input_ids, pad_ids])
+            attention_mask = np.concatenate([attention_mask, pad_mask])
+        out = self._text_fn()(
+            self.params, self.lora, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+        )
+        return np.asarray(out[:n])
+
+    # -- reference-parity convenience API ---------------------------------------
+
+    def encode_image(self, img: str | Image.Image | Sequence, normalize: bool = True) -> np.ndarray:
+        """Single path/PIL → (512,); list → (N, 512). L2-normalized float32,
+        like ref:models/clip_model.py:89-118 / ref:src/embedding/embed_image.py."""
+        single = isinstance(img, (str, Image.Image))
+        items = [img] if single else list(img)
+        pix = self.preprocessor.preprocess_images(items)
+        out = self.encode_image_batch(pix, normalize=normalize)
+        return out[0] if single else out
+
+    def encode_text(self, text: str | Sequence[str], normalize: bool = True) -> np.ndarray:
+        """Single str → (512,); list → (N, 512) (ref:models/clip_model.py:121-150,
+        ref:src/embedding/embed_text.py:11-60)."""
+        single = isinstance(text, str)
+        enc = self.preprocessor.preprocess_text(text)
+        out = self.encode_text_batch(enc["input_ids"], enc["attention_mask"], normalize)
+        return out[0] if single else out
+
+    def save(self, path: str) -> None:
+        save_params(path, self.params)
+
+
+def load_clip_model(
+    config_path: Optional[str] = None,
+    lora_path: Optional[str] = None,
+    weights_path: Optional[str] = None,
+) -> ClipEncoder:
+    """Drop-in analogue of ref:models/clip_model.py:37-82."""
+    return ClipEncoder.from_config(
+        config_path=config_path, weights_path=weights_path, lora_path=lora_path
+    )

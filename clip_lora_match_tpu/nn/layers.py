@@ -1,0 +1,216 @@
+"""Functional NN building blocks for the CLIP towers.
+
+Pure-function layers over explicit param pytrees (no flax modules): this keeps
+weight conversion, LoRA injection, pjit sharding annotations, and Pallas
+kernel swap-in trivial. Transformer stacks are STACKED along a leading
+layer axis and executed with ``lax.scan`` — one compiled block body instead of
+12 unrolled copies (faster XLA compiles, natural ``jax.checkpoint`` boundary).
+
+Numerics contract (for the ≥0.999 cosine parity bar vs the reference CLIP,
+SURVEY §7 "hard parts"):
+- LayerNorm eps 1e-5, computed in float32 regardless of compute dtype;
+- quick-gelu ``x * sigmoid(1.702 x)`` (NOT tanh-gelu);
+- attention scale ``head_dim ** -0.5`` applied to q;
+- softmax in float32;
+- matmuls honor ``compute_dtype`` with float32 accumulation
+  (``preferred_element_type``).
+
+LoRA: every linear accepts an optional ``{"a": (in, r), "b": (r, out)}``
+adapter; forward adds ``scaling * (x @ a) @ b`` — the x@A@B convention of
+PEFT (BASELINE.json north star). ``a``/``b`` here are already transposed to
+the right-multiply layout (PEFT stores (r, in)/(out, r); the converter in
+``lora/peft_io.py`` handles the transpose).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict[str, Any]
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x) (HF CLIPConfig hidden_act)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm in fp32 for stability, cast back to input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def linear(
+    p: Params,
+    x: jnp.ndarray,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """y = x @ kernel + bias [+ lora_scaling * (x @ a) @ b].
+
+    kernel layout is (in, out) — right-multiply, so the LoRA delta composes
+    as pure matmuls on the MXU. fp32 accumulation via preferred_element_type.
+    """
+    out_dtype = x.dtype
+    w = p["kernel"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if lora is not None:
+        a = lora["a"].astype(x.dtype)
+        b = lora["b"].astype(x.dtype)
+        y = y + lora_scaling * jnp.dot(
+            jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype),
+            b,
+            preferred_element_type=jnp.float32,
+        )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _lora_get(lora_block: Optional[Params], name: str) -> Optional[Params]:
+    if lora_block is None:
+        return None
+    return lora_block.get(name)
+
+
+def attention(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Multi-head self-attention with optional additive mask.
+
+    p: {q_proj, k_proj, v_proj, out_proj} each {kernel (D,D), bias (D,)}.
+    mask: additive bias broadcastable to (B, 1, S, S) (0 or large-negative).
+    """
+    B, S, D = x.shape
+    H = num_heads
+    hd = D // H
+    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype)
+    q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), **kw)
+    k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), **kw)
+    v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), **kw)
+
+    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+    k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
+    return linear(p["out_proj"], out, _lora_get(lora, "out_proj"), **kw)
+
+
+def mlp(
+    p: Params,
+    x: jnp.ndarray,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype)
+    h = quick_gelu(linear(p["fc1"], x, _lora_get(lora, "fc1"), **kw))
+    return linear(p["fc2"], h, _lora_get(lora, "fc2"), **kw)
+
+
+def transformer_block(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    eps: float = 1e-5,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Pre-LN residual block (CLIP layout: LN → attn → +res; LN → MLP → +res)."""
+    x = x + attention(
+        p["attn"],
+        layer_norm(p["ln_1"], x, eps),
+        num_heads,
+        mask=mask,
+        lora=_lora_get(lora, "attn"),
+        lora_scaling=lora_scaling,
+        compute_dtype=compute_dtype,
+    )
+    x = x + mlp(
+        p["mlp"],
+        layer_norm(p["ln_2"], x, eps),
+        lora=_lora_get(lora, "mlp"),
+        lora_scaling=lora_scaling,
+        compute_dtype=compute_dtype,
+    )
+    return x
+
+
+def transformer(
+    blocks: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    lora_blocks: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    eps: float = 1e-5,
+    compute_dtype: Optional[jnp.dtype] = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run a stacked transformer (leading layer axis on every leaf) via scan.
+
+    ``lora_blocks`` mirrors ``blocks``' structure with the same leading layer
+    axis, or is None.
+    """
+
+    def body(carry, layer_params):
+        blk, lora_blk = layer_params
+        out = transformer_block(
+            blk,
+            carry,
+            num_heads,
+            mask=mask,
+            lora=lora_blk,
+            lora_scaling=lora_scaling,
+            eps=eps,
+            compute_dtype=compute_dtype,
+        )
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if lora_blocks is None:
+        x, _ = lax.scan(lambda c, blk: body(c, (blk, None)), x, blocks)
+    else:
+        x, _ = lax.scan(body, x, (blocks, lora_blocks))
+    return x
+
+
+def stack_blocks(block_list: list[Params]) -> Params:
+    """Stack a list of per-layer param trees into one tree with a leading
+    layer axis on every leaf (scan layout)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *block_list)
+
+
+def unstack_blocks(blocks: Params) -> list[Params]:
+    """Inverse of stack_blocks."""
+    n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    return [jax.tree_util.tree_map(lambda x: x[i], blocks) for i in range(n)]

@@ -1,22 +1,36 @@
 """Test harness config.
 
-Forces JAX onto a virtual 8-device CPU platform BEFORE jax initializes, so the
-data-parallel sharding paths (mesh, all-gather InfoNCE, sharded index build)
-are exercised without TPU hardware — the "multi-node without a cluster"
-strategy from SURVEY §4.
+Forces JAX onto a virtual 8-device CPU platform so the data-parallel sharding
+paths (mesh, all-gather InfoNCE, sharded index build) are exercised without
+TPU hardware — the "multi-node without a cluster" strategy from SURVEY §4.
+
+Note: the environment's sitecustomize registers a TPU PJRT plugin in every
+process and pins ``jax_platforms``; ``jax.config.update`` after import is the
+reliable override, the env var alone is not.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("USE_TF", "0")  # keep transformers from importing TF
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against torch fp32; keep fp32 matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (full-size models)")
 
 
 @pytest.fixture(scope="session")
