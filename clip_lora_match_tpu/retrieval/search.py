@@ -1,0 +1,105 @@
+"""Search front-end over an EmbeddingIndex.
+
+API mirror of the reference's ``TextSearchIndex``/``SearchResult``
+(ref:src/embedding/search.py:14-151): shape-validated queries, normalized
+scores, top-k results with safe metadata — but the index stays device-resident
+between calls and the encoder is injected (one shared model, not re-loaded
+per service like ref:src/api/main.py:52-62).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from clip_lora_match_tpu.index.store import EmbeddingIndex
+from clip_lora_match_tpu.models.encoder import ClipEncoder
+from clip_lora_match_tpu.retrieval.similarity import top_k_similar
+
+
+@dataclass
+class SearchResult:
+    """ref:src/embedding/search.py:14-20."""
+
+    index: int
+    score: float
+    image_path: Optional[str]
+    text: Optional[str]
+
+
+class SearchIndex:
+    """Top-k cosine search over an embedding index."""
+
+    def __init__(self, index: EmbeddingIndex, encoder: Optional[ClipEncoder] = None):
+        self.index = index
+        self.encoder = encoder
+
+    @classmethod
+    def from_file(
+        cls, path: str, encoder: Optional[ClipEncoder] = None, dim: int = 512
+    ) -> "SearchIndex":
+        return cls(EmbeddingIndex.load(path, dim=dim), encoder)
+
+    def search_with_embedding(
+        self, query: np.ndarray, k: int = 5
+    ) -> list[SearchResult]:
+        """(D,) or (1,D) query → top-k results (ref:search.py:70-115)."""
+        q = np.asarray(query, np.float32)
+        if q.ndim == 2 and q.shape[0] == 1:
+            q = q[0]
+        if q.ndim != 1:
+            raise ValueError(f"query must be (D,) or (1,D), got {q.shape}")
+        if q.shape[0] != self.index.dim:
+            raise ValueError(
+                f"query dim {q.shape[0]} != index dim {self.index.dim}"
+            )
+        if len(self.index) == 0:
+            return []
+        scores, idx = top_k_similar(q, self.index.embeddings, k)
+        results = []
+        for s, i in zip(scores, idx):
+            path, text = self.index.metadata(int(i))
+            results.append(SearchResult(int(i), float(s), path, text))
+        return results
+
+    def _require_encoder(self) -> ClipEncoder:
+        if self.encoder is None:
+            raise RuntimeError("SearchIndex has no encoder attached")
+        return self.encoder
+
+    def search_by_text(self, text: str, k: int = 5) -> list[SearchResult]:
+        """ref:search.py:117-131."""
+        emb = self._require_encoder().encode_text(text)
+        return self.search_with_embedding(emb, k)
+
+    def search_by_image(
+        self, image: str | Image.Image, k: int = 5
+    ) -> list[SearchResult]:
+        """ref:search.py:133-151."""
+        emb = self._require_encoder().encode_image(image)
+        return self.search_with_embedding(emb, k)
+
+    def search_batch(
+        self, queries: np.ndarray, k: int = 5
+    ) -> list[list[SearchResult]]:
+        """Batched query matrix (Q, D) → per-query result lists (new: the
+        reference had no batched search path)."""
+        queries = np.asarray(queries, np.float32)
+        if len(self.index) == 0:
+            return [[] for _ in range(queries.shape[0])]
+        scores, idx = top_k_similar(queries, self.index.embeddings, k)
+        out = []
+        for qs, qi in zip(scores, idx):
+            row = []
+            for s, i in zip(qs, qi):
+                path, text = self.index.metadata(int(i))
+                row.append(SearchResult(int(i), float(s), path, text))
+            out.append(row)
+        return out
+
+
+# Backwards-friendly alias matching the reference class name
+TextSearchIndex = SearchIndex

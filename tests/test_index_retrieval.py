@@ -1,0 +1,170 @@
+"""Index store + retrieval tests, including legacy .pt round-trips against the
+SHIPPED reference index (6 real Balikkin items) and an end-to-end
+encode→index→search integration on the 3-item custom CSV."""
+
+import os
+
+import numpy as np
+import pytest
+
+from clip_lora_match_tpu.core.config import ClipArchConfig
+from clip_lora_match_tpu.index import (
+    EmbeddingIndex,
+    build_index_from_csv,
+    read_custom_items_csv,
+    verify_index,
+)
+from clip_lora_match_tpu.models import clip as jclip
+from clip_lora_match_tpu.models.encoder import ClipEncoder
+from clip_lora_match_tpu.retrieval import (
+    SearchIndex,
+    cosine_similarity,
+    top_k_similar,
+)
+
+TINY = ClipArchConfig(
+    image_size=32,
+    patch_size=16,
+    vision_width=64,
+    vision_layers=2,
+    vision_heads=4,
+    vision_mlp_dim=128,
+    vocab_size=600,  # > fallback tokenizer's 514 ids
+    max_text_length=77,
+    text_width=32,
+    text_layers=2,
+    text_heads=4,
+    text_mlp_dim=64,
+    projection_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder():
+    import jax
+
+    params = jclip.init_params(jax.random.PRNGKey(0), TINY)
+    from clip_lora_match_tpu.core.config import ClipConfig, PreprocessConfig
+
+    cfg = ClipConfig(arch=TINY, preprocess=PreprocessConfig(image_size=32))
+    return ClipEncoder(params, arch=TINY, config=cfg)
+
+
+def test_similarity_matches_numpy(rng):
+    q = rng.normal(size=(8, 32)).astype(np.float32)
+    c = rng.normal(size=(100, 32)).astype(np.float32)
+    sims = np.asarray(cosine_similarity(q, c))
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=-1, keepdims=True)
+    np.testing.assert_allclose(sims, qn @ cn.T, atol=1e-5)
+    scores, idx = top_k_similar(q, c, k=7)
+    oracle = np.argsort(-sims, axis=-1)[:, :7]
+    np.testing.assert_array_equal(idx, oracle)
+    # k clamps to N (ref:similarity.py:50)
+    s2, i2 = top_k_similar(q[0], c[:3], k=10)
+    assert s2.shape == (3,)
+
+
+def test_index_append_and_search(rng):
+    idx = EmbeddingIndex(dim=16)
+    assert len(idx) == 0
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        idx.append(v, image_path=f"img{i}.jpg", text=f"text {i}")
+    assert len(idx) == 20
+    si = SearchIndex(idx)
+    target = vecs[7] / np.linalg.norm(vecs[7])
+    res = si.search_with_embedding(target, k=3)
+    assert res[0].index == 7 and res[0].image_path == "img7.jpg"
+    assert res[0].score == pytest.approx(1.0, abs=1e-5)
+
+
+def test_search_validation(rng):
+    idx = EmbeddingIndex(rng.normal(size=(5, 16)).astype(np.float32))
+    si = SearchIndex(idx)
+    with pytest.raises(ValueError):
+        si.search_with_embedding(np.zeros((3, 16)))
+    with pytest.raises(ValueError):
+        si.search_with_embedding(np.zeros(8))
+    # (1, D) accepted (ref:search.py:83-85)
+    assert len(si.search_with_embedding(np.ones((1, 16)), k=2)) == 2
+    # empty index → empty results
+    assert SearchIndex(EmbeddingIndex(dim=16)).search_with_embedding(np.ones(16)) == []
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    emb = rng.normal(size=(10, 16)).astype(np.float32)
+    idx = EmbeddingIndex(emb, [f"p{i}" for i in range(10)], [f"t{i}" for i in range(10)])
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    loaded = EmbeddingIndex.load(path)
+    np.testing.assert_allclose(loaded.embeddings_np(), idx.embeddings_np(), atol=1e-6)
+    assert loaded.texts == idx.texts and loaded.image_paths == idx.image_paths
+    assert verify_index(loaded)
+
+
+def test_pt_roundtrip(tmp_path, rng):
+    pytest.importorskip("torch")
+    emb = rng.normal(size=(4, 16)).astype(np.float32)
+    idx = EmbeddingIndex(emb, ["a", "b", "c", "d"], ["w", "x", "y", "z"])
+    path = str(tmp_path / "legacy.pt")
+    idx.save(path)
+    loaded = EmbeddingIndex.load(path)
+    np.testing.assert_allclose(loaded.embeddings_np(), idx.embeddings_np(), atol=1e-6)
+    assert loaded.texts == ["w", "x", "y", "z"]
+
+
+def test_pt_singular_keys(tmp_path):
+    """Key-tolerant loading of singular spellings (ref:search.py:41-56)."""
+    torch = pytest.importorskip("torch")
+    emb = np.eye(4, 16, dtype=np.float32)
+    torch.save(
+        {"embeddings": torch.from_numpy(emb), "image_path": ["i"], "text": ["t"]},
+        str(tmp_path / "s.pt"),
+    )
+    with pytest.warns(UserWarning):  # metadata count mismatch warning
+        loaded = EmbeddingIndex.load(str(tmp_path / "s.pt"))
+    assert loaded.image_paths == ["i"] and len(loaded) == 4
+    # safe metadata indexing beyond list length (ref:search.py:104-105)
+    assert loaded.metadata(3) == (None, None)
+
+
+def test_load_shipped_reference_index(reference_root):
+    """The committed 6-item Balikkin index loads and self-searches correctly."""
+    pytest.importorskip("torch")
+    idx = EmbeddingIndex.load(
+        os.path.join(reference_root, "data/index/custom_items_index.pt")
+    )
+    assert len(idx) == 6 and idx.dim == 512
+    assert "tas" in idx.texts[0]
+    si = SearchIndex(idx)
+    res = si.search_with_embedding(idx.embeddings_np()[2], k=6)
+    assert res[0].index == 2 and res[0].score == pytest.approx(1.0, abs=1e-4)
+    assert verify_index(idx)
+
+
+def test_missing_file_starts_empty(tmp_path):
+    idx = EmbeddingIndex.load(str(tmp_path / "nope.npz"), dim=16)
+    assert len(idx) == 0
+
+
+def test_e2e_build_and_search_custom_csv(tiny_encoder, reference_root, tmp_path):
+    """End-to-end slice: parse the real malformed custom CSV → batch encode →
+    index → text search → metadata round-trip (ref:build_custom_index.py +
+    demo_search_text_custom.py path)."""
+    csv_path = os.path.join(reference_root, "data/custom/my_items.csv")
+    paths, texts = read_custom_items_csv(csv_path)
+    assert len(texts) == 3
+    assert texts[0].startswith("Kaca mata pink")
+    index = build_index_from_csv(csv_path, tiny_encoder, custom_format=True)
+    assert len(index) == 3
+    si = SearchIndex(index, tiny_encoder)
+    res = si.search_by_text("Kaca mata pink, ditemukan di gk 1.", k=3)
+    assert len(res) == 3
+    # the exact text's own embedding must rank first
+    assert res[0].index == 0
+    out = str(tmp_path / "custom.npz")
+    index.save(out)
+    reloaded = EmbeddingIndex.load(out)
+    res2 = SearchIndex(reloaded, tiny_encoder).search_by_text(texts[0], k=1)
+    assert res2[0].index == res[0].index
