@@ -153,6 +153,8 @@ def encode_image_features(
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: bool = False,
+    lora_dropout: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """(B, H, W, 3) → (B, projection_dim) UN-normalized image features."""
     p = params["visual"]
@@ -173,6 +175,8 @@ def encode_image_features(
         eps=arch.layer_norm_eps,
         compute_dtype=compute_dtype,
         remat=remat,
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     pooled = layer_norm(p["ln_post"], x[:, 0], arch.layer_norm_eps)
     return linear(p["proj"], pooled, compute_dtype=compute_dtype)
@@ -198,6 +202,8 @@ def encode_text_features(
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: bool = False,
+    lora_dropout: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """(B, S) int ids → (B, projection_dim) UN-normalized text features.
 
@@ -221,6 +227,8 @@ def encode_text_features(
         eps=arch.layer_norm_eps,
         compute_dtype=compute_dtype,
         remat=remat,
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     x = layer_norm(p["ln_final"], x, arch.layer_norm_eps)
     if eot_id is None:

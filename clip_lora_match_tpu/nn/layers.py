@@ -55,11 +55,15 @@ def linear(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """y = x @ kernel + bias [+ lora_scaling * (x @ a) @ b].
+    """y = x @ kernel + bias [+ lora_scaling * (drop(x) @ a) @ b].
 
     kernel layout is (in, out) — right-multiply, so the LoRA delta composes
     as pure matmuls on the MXU. fp32 accumulation via preferred_element_type.
+    LoRA dropout (train-time only, rate from ref:config/lora_config.yaml)
+    applies to the adapter branch input, PEFT convention.
     """
     out_dtype = x.dtype
     w = p["kernel"]
@@ -70,8 +74,12 @@ def linear(
     if lora is not None:
         a = lora["a"].astype(x.dtype)
         b = lora["b"].astype(x.dtype)
+        xl = x
+        if lora_dropout > 0.0 and dropout_rng is not None:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - lora_dropout, x.shape)
+            xl = jnp.where(keep, x / (1.0 - lora_dropout), 0.0).astype(x.dtype)
         y = y + lora_scaling * jnp.dot(
-            jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype),
+            jnp.dot(xl, a, preferred_element_type=jnp.float32).astype(x.dtype),
             b,
             preferred_element_type=jnp.float32,
         )
@@ -94,6 +102,8 @@ def attention(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention with optional additive mask.
 
@@ -103,10 +113,17 @@ def attention(
     B, S, D = x.shape
     H = num_heads
     hd = D // H
-    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype)
-    q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), **kw)
-    k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), **kw)
-    v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), **kw)
+    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype,
+              lora_dropout=lora_dropout)
+
+    def rng_for(i):
+        if dropout_rng is None or lora_dropout <= 0.0:
+            return None
+        return jax.random.fold_in(dropout_rng, i)
+
+    q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), dropout_rng=rng_for(0), **kw)
+    k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
+    v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
 
     q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
     k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
@@ -118,7 +135,9 @@ def attention(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
-    return linear(p["out_proj"], out, _lora_get(lora, "out_proj"), **kw)
+    return linear(
+        p["out_proj"], out, _lora_get(lora, "out_proj"), dropout_rng=rng_for(3), **kw
+    )
 
 
 def mlp(
@@ -127,10 +146,21 @@ def mlp(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype)
-    h = quick_gelu(linear(p["fc1"], x, _lora_get(lora, "fc1"), **kw))
-    return linear(p["fc2"], h, _lora_get(lora, "fc2"), **kw)
+    kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype,
+              lora_dropout=lora_dropout)
+
+    def rng_for(i):
+        if dropout_rng is None or lora_dropout <= 0.0:
+            return None
+        return jax.random.fold_in(dropout_rng, i)
+
+    h = quick_gelu(
+        linear(p["fc1"], x, _lora_get(lora, "fc1"), dropout_rng=rng_for(4), **kw)
+    )
+    return linear(p["fc2"], h, _lora_get(lora, "fc2"), dropout_rng=rng_for(5), **kw)
 
 
 def transformer_block(
@@ -142,6 +172,8 @@ def transformer_block(
     lora_scaling: float = 1.0,
     eps: float = 1e-5,
     compute_dtype: Optional[jnp.dtype] = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Pre-LN residual block (CLIP layout: LN → attn → +res; LN → MLP → +res)."""
     x = x + attention(
@@ -152,6 +184,8 @@ def transformer_block(
         lora=_lora_get(lora, "attn"),
         lora_scaling=lora_scaling,
         compute_dtype=compute_dtype,
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     x = x + mlp(
         p["mlp"],
@@ -159,6 +193,8 @@ def transformer_block(
         lora=_lora_get(lora, "mlp"),
         lora_scaling=lora_scaling,
         compute_dtype=compute_dtype,
+        lora_dropout=lora_dropout,
+        dropout_rng=dropout_rng,
     )
     return x
 
@@ -173,15 +209,18 @@ def transformer(
     eps: float = 1e-5,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: bool = False,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Run a stacked transformer (leading layer axis on every leaf) via scan.
 
     ``lora_blocks`` mirrors ``blocks``' structure with the same leading layer
-    axis, or is None.
+    axis, or is None. When ``dropout_rng`` is given with ``lora_dropout>0``
+    (training), per-layer keys are derived and scanned alongside the params.
     """
 
     def body(carry, layer_params):
-        blk, lora_blk = layer_params
+        blk, lora_blk, rng = layer_params
         out = transformer_block(
             blk,
             carry,
@@ -191,16 +230,26 @@ def transformer(
             lora_scaling=lora_scaling,
             eps=eps,
             compute_dtype=compute_dtype,
+            lora_dropout=lora_dropout,
+            dropout_rng=rng,
         )
         return out, None
 
     if remat:
         body = jax.checkpoint(body)
 
+    num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    use_dropout = dropout_rng is not None and lora_dropout > 0.0
+    if use_dropout:
+        layer_rngs = jax.random.split(dropout_rng, num_layers)
     if lora_blocks is None:
-        x, _ = lax.scan(lambda c, blk: body(c, (blk, None)), x, blocks)
+        x, _ = lax.scan(lambda c, blk: body(c, (blk, None, None)), x, blocks)
+    elif use_dropout:
+        x, _ = lax.scan(
+            lambda c, xs: body(c, xs), x, (blocks, lora_blocks, layer_rngs)
+        )
     else:
-        x, _ = lax.scan(body, x, (blocks, lora_blocks))
+        x, _ = lax.scan(lambda c, xs: body(c, (*xs, None)), x, (blocks, lora_blocks))
     return x
 
 

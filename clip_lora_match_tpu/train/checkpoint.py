@@ -1,0 +1,77 @@
+"""Training checkpoint/resume via Orbax.
+
+The reference only saves per-epoch PEFT adapter dirs and can never resume
+(optimizer state discarded, ref:scripts/train_lora.py:243-247, SURVEY §5).
+Here every checkpoint carries {lora, opt_state, step, epoch, rng} so training
+restarts exactly where it stopped; per-epoch PEFT-compatible exports are still
+written for drop-in parity with the reference's ``epoch_{k}`` directories.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from clip_lora_match_tpu.core.logging import get_logger
+from clip_lora_match_tpu.train.step import TrainState
+
+log = get_logger("ckpt")
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, epoch: int) -> None:
+        payload = {
+            "lora": jax.device_get(state.lora),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+            "epoch": int(epoch),
+            "rng": np.asarray(jax.device_get(state.rng)),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        log.info("saved checkpoint step=%d epoch=%d", step, epoch)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template_state: TrainState) -> Optional[tuple[TrainState, int]]:
+        """Restore latest checkpoint into the template's pytree structure.
+        Returns (state, epoch) or None when no checkpoint exists."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "lora": jax.device_get(template_state.lora),
+            "opt_state": jax.device_get(template_state.opt_state),
+            "step": 0,
+            "epoch": 0,
+            "rng": np.asarray(jax.device_get(template_state.rng)),
+        }
+        payload = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        state = TrainState(
+            lora=payload["lora"],
+            opt_state=payload["opt_state"],
+            step=np.asarray(payload["step"], np.int32),
+            rng=np.asarray(payload["rng"], np.uint32),
+        )
+        log.info("restored checkpoint step=%d epoch=%d", step, payload["epoch"])
+        return state, int(payload["epoch"])
+
+    def close(self) -> None:
+        self._mgr.close()

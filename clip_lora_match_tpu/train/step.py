@@ -1,0 +1,158 @@
+"""Data-parallel LoRA train/eval steps.
+
+The reference's eager per-step loop (ref:scripts/train_lora.py:170-211:
+forward both towers → InfoNCE → backward → clip-norm 1.0 → AdamW → warmup/
+linear-decay sched) becomes ONE jit-compiled function: forward + global-batch
+InfoNCE + backward + AdamW update fused by XLA. Under a mesh, the caller
+shards the batch over the ``data`` axis (parallel/mesh.shard_batch) and
+replicates params; the GSPMD partitioner inserts the feature all-gather for
+the global (B_global × B_global) contrastive logits and the gradient psum —
+the collectives SURVEY §2.4 calls for, without hand-written comms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clip_lora_match_tpu.core.config import ClipArchConfig, LoraConfig, TrainingConfig
+from clip_lora_match_tpu.models import clip as clip_model
+from clip_lora_match_tpu.train.loss import clip_contrastive_loss
+
+Params = dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    lora: Params
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def warmup_linear_schedule(
+    base_lr: float, total_steps: int, warmup_ratio: float = 0.1
+) -> optax.Schedule:
+    """Linear warmup then linear decay to 0 (ref:train_lora.py:154-166)."""
+    warmup = max(1, int(total_steps * warmup_ratio))
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, base_lr, warmup),
+            optax.linear_schedule(base_lr, 0.0, max(1, total_steps - warmup)),
+        ],
+        [warmup],
+    )
+
+
+def make_optimizer(
+    cfg: TrainingConfig, total_steps: int
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """AdamW(adapter-only) + clip-norm + warmup/linear-decay (+ grad accum).
+
+    Matches ref:train_lora.py:154-166 (AdamW lr 1e-4, wd 0.01, clip 1.0), with
+    gradient_accumulation_steps folded in via optax.MultiSteps.
+    """
+    sched = warmup_linear_schedule(cfg.learning_rate, total_steps, cfg.warmup_ratio)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx, sched
+
+
+def _tower_features(
+    params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
+    dropout_rng=None,
+):
+    """Forward both towers; LoRA dropout active iff dropout_rng is given."""
+    rate = lora_cfg.dropout if dropout_rng is not None else 0.0
+    rngs = (
+        jax.random.split(dropout_rng) if dropout_rng is not None else (None, None)
+    )
+    img = clip_model.encode_image_features(
+        params, batch["pixel_values"], arch,
+        lora=lora, lora_scaling=lora_cfg.scaling,
+        compute_dtype=compute_dtype, remat=remat,
+        lora_dropout=rate, dropout_rng=rngs[0],
+    )
+    txt = clip_model.encode_text_features(
+        params, batch["input_ids"], arch,
+        attention_mask=batch.get("attention_mask"), eot_id=eot_id,
+        lora=lora, lora_scaling=lora_cfg.scaling,
+        compute_dtype=compute_dtype, remat=remat,
+        lora_dropout=rate, dropout_rng=rngs[1],
+    )
+    return img, txt
+
+
+def make_train_step(
+    params: Params,
+    arch: ClipArchConfig,
+    lora_cfg: LoraConfig,
+    train_cfg: TrainingConfig,
+    tx: optax.GradientTransformation,
+    eot_id: Optional[int] = None,
+    compute_dtype=None,
+    remat: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the jit'd train step; ``params`` (frozen base) is a closure
+    constant, only the LoRA tree is differentiated and updated."""
+
+    def _loss(lora, batch, rng):
+        img, txt = _tower_features(
+            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
+            dropout_rng=rng if lora_cfg.dropout > 0 else None,
+        )
+        return clip_contrastive_loss(img, txt, train_cfg.temperature)
+
+    @jax.jit
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        rng, new_rng = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(state.lora, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        new_state = TrainState(
+            lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_eval_step(
+    params: Params,
+    arch: ClipArchConfig,
+    lora_cfg: LoraConfig,
+    train_cfg: TrainingConfig,
+    eot_id: Optional[int] = None,
+    compute_dtype=None,
+) -> Callable[[Params, dict], jnp.ndarray]:
+    """Validation loss (ref:train_lora.py:214-241's eval-mode loop body —
+    no dropout, no grads)."""
+
+    @jax.jit
+    def step(lora: Params, batch: dict) -> jnp.ndarray:
+        img, txt = _tower_features(
+            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, False
+        )
+        return clip_contrastive_loss(img, txt, train_cfg.temperature)
+
+    return step
+
+
+def init_train_state(
+    lora: Params, tx: optax.GradientTransformation, seed: int = 42
+) -> TrainState:
+    return TrainState(
+        lora=lora,
+        opt_state=tx.init(lora),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )

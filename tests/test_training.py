@@ -1,0 +1,255 @@
+"""Training stack tests: InfoNCE goldens, schedule shape, data pipeline,
+jit train step (loss ↓, base frozen), 8-device DP equivalence, checkpoint
+resume, and a miniature end-to-end train() run."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from clip_lora_match_tpu.core.config import (
+    ClipArchConfig,
+    LoraConfig,
+    PreprocessConfig,
+    TrainingConfig,
+)
+from clip_lora_match_tpu.data.dataset import ClipPairDataset, batch_iterator, prefetch
+from clip_lora_match_tpu.lora.adapter import init_lora
+from clip_lora_match_tpu.models import clip as jclip
+from clip_lora_match_tpu.parallel import make_mesh, shard_batch
+from clip_lora_match_tpu.tokenizer import ClipTokenizer
+from clip_lora_match_tpu.train import (
+    clip_contrastive_loss,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    warmup_linear_schedule,
+)
+
+ARCH = ClipArchConfig(
+    image_size=32,
+    patch_size=16,
+    vision_width=32,
+    vision_layers=2,
+    vision_heads=2,
+    vision_mlp_dim=64,
+    vocab_size=600,
+    max_text_length=16,
+    text_width=32,
+    text_layers=2,
+    text_heads=2,
+    text_mlp_dim=64,
+    projection_dim=16,
+)
+LORA = LoraConfig(r=2, alpha=4, dropout=0.1)
+TRAIN = TrainingConfig(batch_size=8, learning_rate=1e-2, num_epochs=1)
+
+
+def _batch(rng, n=8, arch=ARCH):
+    eot = 513  # fallback tokenizer EOT
+    ids = np.full((n, arch.max_text_length), eot, np.int32)
+    mask = np.zeros_like(ids)
+    for i in range(n):
+        L = int(rng.integers(3, arch.max_text_length))
+        ids[i, 0] = 512
+        ids[i, 1:L] = rng.integers(0, 512, L - 1)
+        ids[i, L] = eot
+        mask[i, : L + 1] = 1
+    return {
+        "pixel_values": rng.normal(
+            size=(n, arch.image_size, arch.image_size, 3)
+        ).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": mask,
+    }
+
+
+def test_infonce_matches_reference_formula(rng):
+    """Golden vs a direct numpy transcription of the reference loss
+    (normalize → logits/T → symmetric CE on arange targets,
+    ref:train_lora.py:83-108)."""
+    img = rng.normal(size=(6, 16)).astype(np.float32)
+    txt = rng.normal(size=(6, 16)).astype(np.float32)
+    T = 0.07
+    i = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    t = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+    logits = i @ t.T / T
+
+    def ce(lg):
+        lg = lg - lg.max(-1, keepdims=True)
+        logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+        return -np.mean(np.diagonal(logp))
+
+    expected = 0.5 * (ce(logits) + ce(logits.T))
+    got = float(clip_contrastive_loss(jnp.asarray(img), jnp.asarray(txt), T))
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_warmup_linear_schedule():
+    sched = warmup_linear_schedule(1e-4, 100, warmup_ratio=0.1)
+    assert float(sched(0)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(10)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(55)) == pytest.approx(0.5e-4, rel=0.05)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = jclip.init_params(jax.random.PRNGKey(0), ARCH)
+    lora = init_lora(jax.random.PRNGKey(1), ARCH, LORA)
+    tx, _ = make_optimizer(TRAIN, total_steps=50)
+    state = init_train_state(lora, tx, seed=0)
+    step = make_train_step(params, ARCH, LORA, TRAIN, tx, eot_id=513)
+    return params, state, step, tx
+
+
+def test_train_step_reduces_loss(setup, rng):
+    params, state, step, _ = setup
+    batch = _batch(np.random.default_rng(0))
+    losses = []
+    for _ in range(12):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.05, losses
+    assert np.isfinite(losses).all()
+
+
+def test_base_params_frozen(setup):
+    """Gradients flow ONLY to the adapter; base stays byte-identical."""
+    params, state, step, _ = setup
+    before = jax.tree_util.tree_map(np.asarray, params)
+    batch = _batch(np.random.default_rng(1))
+    state, _ = step(state, batch)
+    after = jax.tree_util.tree_map(np.asarray, params)
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_eval_step_deterministic(setup):
+    params, state, _, _ = setup
+    ev = make_eval_step(params, ARCH, LORA, TRAIN, eot_id=513)
+    batch = _batch(np.random.default_rng(2))
+    l1, l2 = float(ev(state.lora, batch)), float(ev(state.lora, batch))
+    assert l1 == l2  # no dropout in eval
+
+
+def test_dp8_matches_single_device(setup):
+    """Global-batch InfoNCE under an 8-way data mesh must equal the
+    single-device computation (GSPMD inserts the feature all-gather)."""
+    params, state, step, _ = setup
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    batch = _batch(np.random.default_rng(3), n=16)
+    _, m_single = step(state, batch)
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch)
+    _, m_dp = step(state, sharded)
+    assert float(m_dp["loss"]) == pytest.approx(float(m_single["loss"]), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# data pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def csv_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    img_dir = d / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = ["image_path,text"]
+    for i in range(20):
+        arr = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(img_dir / f"{i}.jpg")
+        rows.append(f"imgs/{i}.jpg,item number {i} pink bag")
+    csv_path = d / "pairs.csv"
+    csv_path.write_text("\n".join(rows))
+    return str(csv_path), str(d)
+
+
+def test_dataset_and_batching(csv_dataset):
+    csv_path, root = csv_dataset
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    ds = ClipPairDataset(
+        csv_path, tok, PreprocessConfig(image_size=32, max_text_length=16),
+        image_root=root,
+    )
+    assert len(ds) == 20
+    item = ds[0]
+    assert item["pixel_values"].shape == (32, 32, 3)
+    assert item["input_ids"].shape == (16,)
+    batches = list(batch_iterator(ds, 8, shuffle=True, seed=1, epoch=0))
+    assert len(batches) == 2  # drop_last: 20 → 2×8
+    assert batches[0]["pixel_values"].shape == (8, 32, 32, 3)
+    # deterministic shuffle
+    b2 = list(batch_iterator(ds, 8, shuffle=True, seed=1, epoch=0))
+    np.testing.assert_array_equal(batches[0]["input_ids"], b2[0]["input_ids"])
+    b3 = list(batch_iterator(ds, 8, shuffle=True, seed=1, epoch=1))
+    assert not np.array_equal(batches[0]["input_ids"], b3[0]["input_ids"])
+
+
+def test_prefetch_yields_all_and_propagates_errors(csv_dataset):
+    csv_path, root = csv_dataset
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    ds = ClipPairDataset(
+        csv_path, tok, PreprocessConfig(image_size=32, max_text_length=16),
+        image_root=root,
+    )
+    n = sum(1 for _ in prefetch(batch_iterator(ds, 4, shuffle=False)))
+    assert n == 5
+
+    def boom():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("worker died")
+
+    it = prefetch(boom())
+    next(it)
+    with pytest.raises(RuntimeError, match="worker died"):
+        list(it)
+
+
+def test_missing_csv_columns(tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,2\n")
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    with pytest.raises(ValueError, match="image_path"):
+        ClipPairDataset(str(bad), tok)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end miniature training run + resume
+# ---------------------------------------------------------------------------
+
+
+def test_train_e2e_and_resume(csv_dataset, tmp_path):
+    from clip_lora_match_tpu.train import train
+
+    csv_path, root = csv_dataset
+    out = str(tmp_path / "run")
+    tcfg = TrainingConfig(
+        seed=42, batch_size=4, learning_rate=5e-3, num_epochs=2,
+        logging_steps=2, train_csv=csv_path, val_csv=csv_path,
+        image_root_dir=root, output_dir=out, temperature=0.07,
+    )
+    res = train(
+        lora_cfg=LORA, train_cfg=tcfg, arch=ARCH,
+        tokenizer=ClipTokenizer.from_dir(None, max_length=16),
+    )
+    assert res.epochs == 2 and res.steps == 10  # 20//4=5 per epoch
+    assert res.train_losses[-1] < res.train_losses[0]
+    assert len(res.val_losses) == 2
+    for k in (1, 2):
+        d = os.path.join(out, f"epoch_{k}")
+        assert os.path.exists(os.path.join(d, "adapter_model.safetensors"))
+        assert os.path.exists(os.path.join(d, "lora_weights.npz"))
+    # resume: same config continues instead of restarting
+    res2 = train(
+        lora_cfg=LORA, train_cfg=tcfg, arch=ARCH,
+        tokenizer=ClipTokenizer.from_dir(None, max_length=16),
+    )
+    assert res2.steps == 0 and res2.epochs == 0  # nothing left to do
