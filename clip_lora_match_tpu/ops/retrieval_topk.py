@@ -1,0 +1,170 @@
+"""Pallas fused retrieval kernel: L2-normalize + blocked query×index matmul +
+streaming top-k.
+
+This is the BASELINE.json north-star component (≥100k queries/sec): the
+reference's ``sims = q @ E.T; torch.topk`` (ref:src/embedding/search.py:96-99)
+materializes the full (Q, N) score matrix; at HBM-scale N that matrix is pure
+bandwidth waste. This kernel streams the index through VMEM in (BLOCK_N, D)
+tiles (auto double-buffered by the Pallas pipeline), keeps a running (Q, k)
+top-k in VMEM scratch, and never writes scores to HBM.
+
+Algorithm per (q_block, n_block) grid step, n innermost:
+1. normalize the query tile (cheap VPU work, amortized vs the matmul);
+2. scores = q @ tile.T on the MXU with fp32 accumulation;
+3. mask out-of-range padded rows to -inf;
+4. per-tile top-k by k max-extraction passes (k ≪ BLOCK_N, so extraction
+   cost is negligible vs the matmul);
+5. merge with the running top-k: concat to (Q, 2k) candidates, k more
+   extraction passes.
+
+Outputs (Q, k) scores + global int32 indices, sorted descending. Validated
+bit-exactly against the jnp argsort oracle in tests (interpret mode on CPU,
+compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _extract_topk(scores: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """k max-extraction passes over (Q, M) → ((Q, k), (Q, k)) sorted desc."""
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    out_s, out_i = [], []
+    for _ in range(k):
+        m = jnp.max(scores, axis=1, keepdims=True)  # (Q, 1)
+        am = jnp.argmax(scores, axis=1)  # (Q,)
+        hit = col == am[:, None]  # exactly-one-hot per row
+        # gather-free index select: masked sum (Mosaic has no 2D gather)
+        sel = jnp.sum(jnp.where(hit, idx, 0), axis=1, keepdims=True)
+        out_s.append(m)
+        out_i.append(sel)
+        scores = jnp.where(hit, NEG_INF, scores)
+    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+
+
+def _kernel(q_ref, idx_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block_n, n_total):
+    nb = pl.program_id(1)
+    num_nb = pl.num_programs(1)
+
+    @pl.when(nb == 0)
+    def _():
+        run_s[:] = jnp.full_like(run_s, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    # 1. normalize query tile in fp32
+    q = q_ref[:].astype(jnp.float32)
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True) + 1e-12)
+
+    # 2. blocked matmul: (Qb, D) @ (D, BLOCK_N)
+    tile = idx_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q,
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Qb, BLOCK_N)
+
+    # 3. mask padded rows beyond the true index size
+    base = nb * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gcol = col + base
+    scores = jnp.where(gcol < n_total, scores, NEG_INF)
+
+    # 4. per-tile top-k
+    tile_s, tile_i = _extract_topk(scores, gcol, k)
+
+    # 5. merge with running top-k
+    cand_s = jnp.concatenate([run_s[:], tile_s], axis=1)  # (Qb, 2k)
+    cand_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+    new_s, new_i = _extract_topk(cand_s, cand_i, k)
+    run_s[:] = new_s
+    run_i[:] = new_i
+
+    @pl.when(nb == num_nb - 1)
+    def _():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def topk_retrieve(
+    queries: jnp.ndarray,
+    index: jnp.ndarray,
+    k: int = 5,
+    block_q: int = 128,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused top-k cosine retrieval.
+
+    queries: (Q, D) — normalized IN-KERNEL (callers may pass raw embeddings).
+    index:   (N, D) — assumed L2-normalized (EmbeddingIndex guarantees this).
+    Returns (scores (Q, k) fp32 desc-sorted, indices (Q, k) int32).
+    """
+    Q, D = queries.shape
+    N = index.shape[0]
+    k = min(k, N)
+    bq = min(block_q, max(8, Q))
+    bn = min(block_n, N)
+
+    # pad Q to a multiple of bq; padded queries produce garbage rows sliced off
+    q_pad = -(-Q // bq) * bq
+    if q_pad != Q:
+        queries = jnp.pad(queries, ((0, q_pad - Q), (0, 0)), constant_values=1.0)
+    # pad N to a multiple of bn; padded rows masked to -inf in-kernel
+    n_pad = -(-N // bn) * bn
+    if n_pad != N:
+        index = jnp.pad(index, ((0, n_pad - N), (0, 0)))
+
+    grid = (q_pad // bq, n_pad // bn)
+    kernel = functools.partial(_kernel, k=k, block_n=bn, n_total=N)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k), jnp.float32),
+            pltpu.VMEM((bq, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * D,
+            bytes_accessed=q_pad * D * 4 + n_pad * D * 4 + 2 * q_pad * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, index)
+    return out_s[:Q], out_i[:Q]
+
+
+def topk_retrieve_reference(
+    queries: jnp.ndarray, index: jnp.ndarray, k: int = 5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp oracle with identical contract (for tests and CPU fallback)."""
+    q = queries.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = jnp.dot(q, index.astype(jnp.float32).T)
+    k = min(k, index.shape[0])
+    s, i = jax.lax.top_k(sims, k)
+    return s, i.astype(jnp.int32)

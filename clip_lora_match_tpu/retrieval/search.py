@@ -58,7 +58,7 @@ class SearchIndex:
             )
         if len(self.index) == 0:
             return []
-        scores, idx = top_k_similar(q, self.index.embeddings, k)
+        scores, idx = top_k_similar(q, self.index.embeddings, k, assume_normalized=True)
         results = []
         for s, i in zip(scores, idx):
             path, text = self.index.metadata(int(i))
@@ -90,7 +90,7 @@ class SearchIndex:
         queries = np.asarray(queries, np.float32)
         if len(self.index) == 0:
             return [[] for _ in range(queries.shape[0])]
-        scores, idx = top_k_similar(queries, self.index.embeddings, k)
+        scores, idx = top_k_similar(queries, self.index.embeddings, k, assume_normalized=True)
         out = []
         for qs, qi in zip(scores, idx):
             row = []

@@ -34,16 +34,45 @@ def _topk_jit(sims: jnp.ndarray, k: int):
     return jax.lax.top_k(sims, k)
 
 
+def _use_pallas(n: int) -> bool:
+    """The fused kernel pays off once the index spills past one VMEM tile and
+    only compiles on TPU."""
+    try:
+        return jax.default_backend() == "tpu" and n >= 2048
+    except Exception:
+        return False
+
+
 def top_k_similar(
-    query: jnp.ndarray, candidates: jnp.ndarray, k: int = 5
+    query: jnp.ndarray,
+    candidates: jnp.ndarray,
+    k: int = 5,
+    assume_normalized: bool = False,
+    use_pallas: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """→ (scores, indices), k clamped to N (ref:similarity.py:36-58)."""
+    """→ (scores, indices), k clamped to N (ref:similarity.py:36-58).
+
+    On TPU with a large candidate set this dispatches to the Pallas fused
+    normalize+matmul+streaming-topk kernel (ops/retrieval_topk.py); the jnp
+    path is the oracle/CPU fallback. ``assume_normalized`` skips re-normalizing
+    the candidate rows (EmbeddingIndex already guarantees unit norm).
+    """
     n = candidates.shape[0]
     if n == 0:
         return np.zeros((0,), np.float32), np.zeros((0,), np.int32)
     k = min(k, n)
-    sims = cosine_similarity(query, candidates)
-    scores, idx = _topk_jit(jnp.atleast_2d(sims), k)
-    if query.ndim == 1 or (hasattr(query, "ndim") and query.ndim == 1):
+    single = query.ndim == 1
+    if use_pallas is None:
+        use_pallas = _use_pallas(n) and assume_normalized
+    if use_pallas:
+        from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve
+
+        scores, idx = topk_retrieve(jnp.atleast_2d(query), candidates, k)
+    else:
+        cand = candidates if assume_normalized else l2_normalize(candidates)
+        q = l2_normalize(jnp.atleast_2d(query))
+        sims = jnp.dot(q, cand.T, preferred_element_type=jnp.float32)
+        scores, idx = _topk_jit(sims, k)
+    if single:
         return np.asarray(scores[0]), np.asarray(idx[0])
     return np.asarray(scores), np.asarray(idx)

@@ -1,0 +1,69 @@
+"""Pallas retrieval kernel vs the jnp oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clip_lora_match_tpu.ops.retrieval_topk import (
+    topk_retrieve,
+    topk_retrieve_reference,
+)
+
+
+def _norm_rows(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize(
+    "Q,N,D,k",
+    [
+        (8, 256, 128, 5),
+        (1, 100, 128, 10),     # ragged N, Q=1 (padded in-kernel)
+        (17, 1000, 128, 3),    # ragged Q and N
+        (128, 4096, 512, 10),  # CLIP-sized
+    ],
+)
+def test_kernel_matches_oracle(Q, N, D, k):
+    rng = np.random.default_rng(Q * 1000 + N)
+    q = rng.normal(size=(Q, D)).astype(np.float32) * 3.0  # unnormalized input
+    idx = _norm_rows(rng.normal(size=(N, D)).astype(np.float32))
+    s_ref, i_ref = topk_retrieve_reference(jnp.asarray(q), jnp.asarray(idx), k)
+    s, i = topk_retrieve(
+        jnp.asarray(q), jnp.asarray(idx), k, block_q=16, block_n=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
+
+
+def test_k_clamped_to_n():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    idx = _norm_rows(rng.normal(size=(7, 64)).astype(np.float32))
+    s, i = topk_retrieve(jnp.asarray(q), jnp.asarray(idx), k=20, block_n=8,
+                         interpret=True)
+    assert s.shape == (4, 7) and i.shape == (4, 7)
+
+
+def test_duplicate_scores_stable():
+    """Exact ties: every returned index must point at a row achieving its
+    score (tie order may differ from the oracle's)."""
+    idx = np.eye(8, 64, dtype=np.float32)
+    idx[4] = idx[0]  # duplicate row → tied scores
+    q = idx[0:1].copy()
+    s, i = topk_retrieve(jnp.asarray(q), jnp.asarray(idx), k=3, block_n=8,
+                         interpret=True)
+    s, i = np.asarray(s), np.asarray(i)
+    assert s[0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert {0, 4} >= set(i[0, :2].tolist())
+
+
+def test_scores_sorted_descending():
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(5, 128)).astype(np.float32)
+    idx = _norm_rows(rng.normal(size=(300, 128)).astype(np.float32))
+    s, _ = topk_retrieve(jnp.asarray(q), jnp.asarray(idx), k=7, block_n=64,
+                         interpret=True)
+    s = np.asarray(s)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
