@@ -1,0 +1,106 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric: ViT-B/32 image embed throughput (images/sec/chip), the BASELINE.json
+north-star workload (batched index build / eval encode path). Baseline: the
+driver target of 5,000 images/sec/chip on TPU v5e; ``vs_baseline`` is the
+speedup ratio against that target.
+
+Also measures (and reports inside "extra") fused top-k retrieval qps and text
+embed throughput, so regressions in either hot path are visible per round.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.md driver target per chip
+
+
+def _bench(fn, *args, iters=30, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from clip_lora_match_tpu.core.config import ClipArchConfig
+    from clip_lora_match_tpu.models import clip as clip_model
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve
+
+    arch = ClipArchConfig()
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.default_rng(0)
+
+    # --- image embed throughput (the headline) ---
+    B = 256
+    pix = jnp.asarray(
+        rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(np.float32)
+    )
+
+    @jax.jit
+    def embed_images(params, pix):
+        feats = clip_model.encode_image_features(
+            params, pix, arch, compute_dtype=jnp.bfloat16
+        )
+        return clip_model.l2_normalize(feats)
+
+    t_img = _bench(embed_images, params, pix)
+    images_per_sec = B / t_img
+
+    # --- text embed throughput ---
+    T = 512
+    ids = rng.integers(0, arch.vocab_size - 2, (T, arch.max_text_length)).astype(
+        np.int32
+    )
+    ids_j = jnp.asarray(ids)
+
+    @jax.jit
+    def embed_texts(params, ids):
+        feats = clip_model.encode_text_features(
+            params, ids, arch, eot_id=arch.vocab_size - 1,
+            compute_dtype=jnp.bfloat16,
+        )
+        return clip_model.l2_normalize(feats)
+
+    t_txt = _bench(embed_texts, params, ids_j)
+    texts_per_sec = T / t_txt
+
+    # --- fused retrieval qps ---
+    N, D, Q, k = 40960, 512, 256, 10
+    index = rng.normal(size=(N, D)).astype(np.float32)
+    index /= np.linalg.norm(index, axis=1, keepdims=True)
+    qs = jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32))
+    index_j = jnp.asarray(index)
+    t_topk = _bench(lambda a, b: topk_retrieve(a, b, k), qs, index_j)
+    qps = Q / t_topk
+
+    print(
+        json.dumps(
+            {
+                "metric": "vit_b32_images_per_sec_per_chip",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+                "extra": {
+                    "texts_per_sec": round(texts_per_sec, 1),
+                    "topk_qps_n40960_k10": round(qps, 1),
+                    "image_batch": B,
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
