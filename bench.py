@@ -20,14 +20,23 @@ import jax.numpy as jnp
 BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.md driver target per chip
 
 
+def _sync(out):
+    """Force completion. On the axon-relay platform block_until_ready can
+    return before execution finishes; a device→host transfer is the only
+    reliable sync point."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
+    np.asarray(leaf)
+
+
 def _bench(fn, *args, iters=30, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -1,0 +1,10 @@
+from clip_lora_match_tpu.services.finder import FinderConfig, FinderService, ReportResult
+from clip_lora_match_tpu.services.seeker import SeekerConfig, SeekerService
+
+__all__ = [
+    "FinderConfig",
+    "FinderService",
+    "ReportResult",
+    "SeekerConfig",
+    "SeekerService",
+]

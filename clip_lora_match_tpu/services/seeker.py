@@ -1,0 +1,121 @@
+"""SeekerService — the search (read) path.
+
+Behavior parity with ref:src/embedding/seeker_service.py:49-186:
+- multimodal query: text-only / image-only / both;
+- fusion = w_text·t + w_img·i then renormalize, defaults 0.5/0.5 (ref L87-157);
+- optional YOLO crop of the query image, using crop[0], falling back to the
+  original image on any crop error (ref L121-138);
+- raises when neither text nor image is given.
+
+TPU-native fix: the reference reloads the whole .pt index from disk on EVERY
+search (ref L183). Here the index stays device-resident; when finder and
+seeker share a process they share the same EmbeddingIndex object, and a
+cross-process freshness check reloads only when the index file's mtime moves.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from clip_lora_match_tpu.core.logging import get_logger
+from clip_lora_match_tpu.index.store import EmbeddingIndex
+from clip_lora_match_tpu.models.encoder import ClipEncoder
+from clip_lora_match_tpu.retrieval.search import SearchIndex, SearchResult
+
+log = get_logger("seeker")
+
+
+@dataclass
+class SeekerConfig:
+    """Mirrors ref:src/embedding/seeker_service.py:16-33."""
+
+    index_path: str = "data/index/custom_items_index.npz"
+    top_k: int = 5
+    text_weight: float = 0.5
+    image_weight: float = 0.5
+    use_yolo_crop: bool = False
+    watch_index_file: bool = True
+
+
+class SeekerService:
+    def __init__(
+        self,
+        encoder: ClipEncoder,
+        config: Optional[SeekerConfig] = None,
+        cropper=None,
+        index: Optional[EmbeddingIndex] = None,
+    ):
+        self.cfg = config or SeekerConfig()
+        self.encoder = encoder
+        self.cropper = cropper if self.cfg.use_yolo_crop else None
+        self._shared_index = index is not None
+        self.index = (
+            index
+            if index is not None
+            else EmbeddingIndex.load(self.cfg.index_path)
+        )
+        self._mtime = self._index_mtime()
+
+    def _index_mtime(self) -> float:
+        path = self.cfg.index_path
+        npz = path if path.endswith((".npz", ".pt")) else path + ".npz"
+        try:
+            return os.path.getmtime(npz)
+        except OSError:
+            return 0.0
+
+    def _maybe_reload(self) -> None:
+        """Cross-process freshness: reload only when the file changed (the
+        reference reloaded unconditionally per query, ref L183)."""
+        if self._shared_index or not self.cfg.watch_index_file:
+            return
+        m = self._index_mtime()
+        if m > self._mtime:
+            self.index = EmbeddingIndex.load(self.cfg.index_path)
+            self._mtime = m
+            log.info("reloaded index (%d rows)", len(self.index))
+
+    def _build_query_embedding(
+        self,
+        description: Optional[str],
+        image_path: Optional[str],
+    ) -> np.ndarray:
+        """ref:seeker_service.py:84-157."""
+        if not description and not image_path:
+            raise ValueError("provide a description, an image, or both")
+        text_emb = image_emb = None
+        if description:
+            text_emb = self.encoder.encode_text(description)
+        if image_path:
+            query_img = image_path
+            if self.cropper is not None:
+                try:
+                    crops = self.cropper.crop_image(image_path)
+                    if crops:
+                        query_img = crops[0]  # crop[0] like ref L129
+                except Exception as e:  # fall back to original (ref L137-138)
+                    log.warning("query crop failed (%s); using original", e)
+            image_emb = self.encoder.encode_image(query_img)
+        if text_emb is None:
+            return image_emb
+        if image_emb is None:
+            return text_emb
+        fused = self.cfg.text_weight * text_emb + self.cfg.image_weight * image_emb
+        norm = np.linalg.norm(fused)
+        return fused / max(norm, 1e-12)
+
+    def search_items(
+        self,
+        description: Optional[str] = None,
+        image_path: Optional[str] = None,
+        k: Optional[int] = None,
+    ) -> list[SearchResult]:
+        """ref:seeker_service.py:159-186."""
+        self._maybe_reload()
+        query = self._build_query_embedding(description, image_path)
+        si = SearchIndex(self.index, self.encoder)
+        return si.search_with_embedding(query, k or self.cfg.top_k)

@@ -1,0 +1,160 @@
+"""Finder/Seeker service + DB store tests: report→search round trip on the
+shared device-resident index, reference quirks (text-of-description indexing,
+fusion weights, crop fallback), concurrency safety, sqlite persistence."""
+
+import datetime as dt
+import os
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_lora_match_tpu.db.store import FoundItem, SqliteStore, open_store
+from clip_lora_match_tpu.index.store import EmbeddingIndex
+from clip_lora_match_tpu.services import (
+    FinderConfig,
+    FinderService,
+    SeekerConfig,
+    SeekerService,
+)
+from tests.test_index_retrieval import tiny_encoder, TINY  # noqa: F401 (fixture)
+
+
+@pytest.fixture()
+def env(tmp_path, tiny_encoder):  # noqa: F811
+    img_dir = tmp_path / "uploads"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = img_dir / f"item{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8), "RGB"
+        ).save(p)
+        paths.append(str(p))
+    store = SqliteStore(str(tmp_path / "db.sqlite"))
+    fcfg = FinderConfig(
+        index_path=str(tmp_path / "index.npz"),
+        reported_images_dir=str(tmp_path / "reported"),
+        k_dim=TINY.projection_dim,
+    )
+    finder = FinderService(tiny_encoder, fcfg, store=store)
+    seeker = SeekerService(
+        tiny_encoder,
+        SeekerConfig(index_path=fcfg.index_path),
+        index=finder.index,  # shared in-process index
+    )
+    return paths, store, finder, seeker, tmp_path
+
+
+def test_report_then_search_roundtrip(env):
+    paths, store, finder, seeker, tmp = env
+    r = finder.report_item(
+        paths[0], "tas jansport warna pink", location="parkiran gedung c",
+        found_at=dt.datetime(2026, 8, 1, 10, 0), reporter="budi",
+    )
+    # indexed text includes the location template (ref:finder_service.py:158-163)
+    assert r.indexed_text == "tas jansport warna pink, ditemukan di parkiran gedung c"
+    assert r.item_id == 1 and r.index_row == 0
+    assert os.path.exists(r.stored_image_path)
+    finder.report_item(paths[1], "kaca mata pink ungu", location="gk 1")
+    finder.report_item(paths[2], "sepatu futsal hijau", location="lapangan")
+
+    res = seeker.search_items(description="tas jansport warna pink, ditemukan di parkiran gedung c")
+    assert res[0].index == 0
+    assert res[0].text.startswith("tas jansport")
+
+    # DB rows ordered found_at DESC (nulls first by sqlite DESC ordering rules)
+    items = store.all_items()
+    assert len(items) == 3
+    descs = {i.description for i in items}
+    assert "sepatu futsal hijau" in descs
+
+
+def test_search_requires_some_query(env):
+    *_, seeker, _ = env[0], env[1], env[2], env[3], env[4]
+    seeker = env[3]
+    with pytest.raises(ValueError):
+        seeker.search_items()
+
+
+def test_multimodal_fusion_weights(env, tiny_encoder):  # noqa: F811
+    paths, _, finder, seeker, _ = env
+    finder.report_item(paths[0], "tas pink")
+    t = tiny_encoder.encode_text("tas pink")
+    i = tiny_encoder.encode_image(paths[0])
+    fused = 0.5 * t + 0.5 * i
+    fused /= np.linalg.norm(fused)
+    got = seeker._build_query_embedding("tas pink", paths[0])
+    np.testing.assert_allclose(got, fused, atol=1e-5)
+    # single-modality paths return the raw (already normalized) embeddings
+    np.testing.assert_allclose(
+        seeker._build_query_embedding("tas pink", None), t, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        seeker._build_query_embedding(None, paths[0]), i, atol=1e-6
+    )
+
+
+class _BoomCropper:
+    def crop_image(self, path):
+        raise RuntimeError("detector exploded")
+
+
+def test_crop_failure_falls_back(env, tiny_encoder):  # noqa: F811
+    paths, _, finder, _, tmp = env
+    finder.report_item(paths[0], "tas pink")
+    cfg = SeekerConfig(index_path=finder.cfg.index_path, use_yolo_crop=True)
+    seeker = SeekerService(tiny_encoder, cfg, cropper=_BoomCropper(),
+                           index=finder.index)
+    res = seeker.search_items(image_path=paths[0])  # must not raise (ref L137-138)
+    assert len(res) >= 1
+
+
+def test_concurrent_reports_are_serialized(env):
+    paths, store, finder, _, _ = env
+    errs = []
+
+    def report(i):
+        try:
+            finder.report_item(paths[i % 3], f"item {i}", location=f"loc {i}")
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=report, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(finder.index) == 12
+    assert len(store.all_items()) == 12
+    assert len(finder.index.texts) == 12
+
+
+def test_seeker_reloads_on_external_write(env, tiny_encoder):  # noqa: F811
+    """Cross-process freshness: a new index row written by another process
+    becomes visible without per-query reload."""
+    paths, _, finder, _, tmp = env
+    finder.report_item(paths[0], "tas pink")
+    # independent seeker with its own (file-loaded) index
+    seeker = SeekerService(
+        tiny_encoder, SeekerConfig(index_path=finder.cfg.index_path)
+    )
+    assert len(seeker.index) == 1
+    import time
+
+    time.sleep(0.01)
+    finder.report_item(paths[1], "topi biru")
+    os.utime(finder.cfg.index_path)  # ensure mtime moves even on coarse clocks
+    seeker.search_items(description="topi biru")
+    assert len(seeker.index) == 2
+
+
+def test_open_store_sqlite_fallback(tmp_path):
+    store = open_store(str(tmp_path / "x.sqlite"))
+    assert isinstance(store, SqliteStore)
+    store.insert(FoundItem(None, "a.jpg", "desc"))
+    assert len(store.all_items()) == 1
+    store.close()
