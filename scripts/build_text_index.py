@@ -1,0 +1,30 @@
+"""Build the fashion text index from a pairs CSV
+(ref:scripts/build_text_index.py:13-77 — but batched instead of one forward
+per row)."""
+
+import argparse
+
+from _common import add_encoder_args, build_encoder
+
+
+def main():
+    p = argparse.ArgumentParser(description="Build text embedding index from CSV")
+    p.add_argument("--csv", default="data/text/train_fashion.csv")
+    p.add_argument("--out", default="data/index/fashion_text_index.npz")
+    p.add_argument("--batch-size", type=int, default=256)
+    add_encoder_args(p)
+    args = p.parse_args()
+
+    from clip_lora_match_tpu.index import build_index_from_csv, verify_index
+
+    encoder = build_encoder(args)
+    index = build_index_from_csv(
+        args.csv, encoder, custom_format=False, batch_size=args.batch_size
+    )
+    index.save(args.out)
+    ok = verify_index(index)
+    print(f"[build_text_index] {len(index)} rows -> {args.out} (verify={'ok' if ok else 'FAILED'})")
+
+
+if __name__ == "__main__":
+    main()
