@@ -28,7 +28,7 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
-@partial(jax.jit, static_argnames=("max_det",))
+@partial(jax.jit, static_argnames=("max_det", "agnostic"))
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
