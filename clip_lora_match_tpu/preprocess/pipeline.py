@@ -39,6 +39,16 @@ class ClipPreprocessor:
         return preprocess_image(img, self.pre)[None]
 
     def preprocess_images(self, imgs: Sequence[str | Image.Image]) -> np.ndarray:
+        # all-path batches route through the native C++ loader when built
+        # (JPEG decode + resample in native threads; PIL fallback per-row)
+        if imgs and all(isinstance(i, str) for i in imgs):
+            from clip_lora_match_tpu.data.native_loader import (
+                native_available,
+                preprocess_image_batch_native,
+            )
+
+            if native_available():
+                return preprocess_image_batch_native(list(imgs), self.pre)
         return preprocess_image_batch(imgs, self.pre)
 
     def preprocess_text(self, text: str | Sequence[str]) -> dict[str, np.ndarray]:

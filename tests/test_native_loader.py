@@ -1,0 +1,79 @@
+"""Native C++ loader: builds, decodes real reference JPEGs, matches the PIL
+pipeline closely, survives corrupt inputs, and is exercised for throughput."""
+
+import glob
+import os
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_lora_match_tpu.data.native_loader import (
+    native_available,
+    preprocess_image_batch_native,
+)
+from clip_lora_match_tpu.preprocess.image import preprocess_image_batch
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader unavailable (no g++/libjpeg)"
+)
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpg")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (w, h) in enumerate([(640, 480), (300, 500), (224, 224), (100, 80)]):
+        p = d / f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(p, quality=95)
+        paths.append(str(p))
+    return paths
+
+
+def test_matches_pil_pipeline(jpegs):
+    ours = preprocess_image_batch_native(jpegs)
+    theirs = preprocess_image_batch(jpegs)
+    assert ours.shape == theirs.shape
+    # both pipelines decode the same JPEG and resample with the same cubic
+    # algorithm; differences are fixed-point rounding (±1-2 LSB pre-normalize)
+    max_diff = np.abs(ours - theirs).max()
+    assert max_diff < 5 / 255 / 0.26, f"max diff {max_diff}"
+    mean_diff = np.abs(ours - theirs).mean()
+    assert mean_diff < 0.01, f"mean diff {mean_diff}"
+
+
+def test_reference_images(reference_root):
+    paths = sorted(
+        glob.glob(os.path.join(reference_root, "data/custom/images/*.jpg"))
+    )
+    assert paths
+    ours = preprocess_image_batch_native(paths)
+    theirs = preprocess_image_batch(paths)
+    assert np.abs(ours - theirs).mean() < 0.01
+
+
+def test_corrupt_file_falls_back(tmp_path, jpegs):
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+    png = tmp_path / "actually.png"
+    Image.new("RGB", (50, 50), (10, 200, 30)).save(png)
+    fake_jpg = tmp_path / "renamed.jpg"
+    Image.new("RGB", (50, 50), (10, 200, 30)).save(fake_jpg, format="PNG")
+    with pytest.raises(Exception):
+        preprocess_image_batch_native([str(bad)])  # PIL can't decode it either
+    out = preprocess_image_batch_native([jpegs[0], str(fake_jpg)])
+    ref = preprocess_image_batch([jpegs[0], str(fake_jpg)])
+    assert np.abs(out - ref).mean() < 0.01  # PNG-in-.jpg handled via fallback
+
+
+def test_throughput_sane(jpegs):
+    batch = jpegs * 16  # 64 images
+    t0 = time.perf_counter()
+    preprocess_image_batch_native(batch)
+    native_t = time.perf_counter() - t0
+    per_img_ms = native_t / len(batch) * 1e3
+    assert per_img_ms < 100, f"{per_img_ms:.1f} ms/img is implausibly slow"
