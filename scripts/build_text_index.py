@@ -15,11 +15,20 @@ def main():
     add_encoder_args(p)
     args = p.parse_args()
 
+    import jax
+
     from clip_lora_match_tpu.index import build_index_from_csv, verify_index
 
     encoder = build_encoder(args)
+    encode_fn = None
+    if jax.device_count() > 1:  # shard the build over all chips
+        from clip_lora_match_tpu.parallel.sharded_encode import sharded_text_encode_fn
+
+        encode_fn = sharded_text_encode_fn(encoder)
+        print(f"[build_text_index] sharding over {jax.device_count()} devices")
     index = build_index_from_csv(
-        args.csv, encoder, custom_format=False, batch_size=args.batch_size
+        args.csv, encoder, custom_format=False, batch_size=args.batch_size,
+        encode_fn=encode_fn,
     )
     index.save(args.out)
     ok = verify_index(index)
