@@ -94,9 +94,12 @@ def train(
     pre = PreprocessConfig(
         image_size=arch.image_size, max_text_length=arch.max_text_length
     )
+    from clip_lora_match_tpu.preprocess.augment import ImageAugmenter
+
     train_ds = ClipPairDataset(
         train_cfg.train_csv, tokenizer, pre,
-        image_root=train_cfg.image_root_dir, augment=True,
+        image_root=train_cfg.image_root_dir,
+        augmenter=ImageAugmenter(seed=train_cfg.seed),  # deterministic runs
     )
     val_ds = None
     if train_cfg.val_csv and os.path.exists(train_cfg.val_csv):

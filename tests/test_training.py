@@ -241,7 +241,8 @@ def test_train_e2e_and_resume(csv_dataset, tmp_path):
         tokenizer=ClipTokenizer.from_dir(None, max_length=16),
     )
     assert res.epochs == 2 and res.steps == 10  # 20//4=5 per epoch
-    assert res.train_losses[-1] < res.train_losses[0]
+    # robust descent check: second-epoch average below first-epoch average
+    assert np.mean(res.train_losses[5:]) < np.mean(res.train_losses[:5])
     assert len(res.val_losses) == 2
     for k in (1, 2):
         d = os.path.join(out, f"epoch_{k}")
