@@ -93,6 +93,9 @@ class ClipConfig:
     arch: ClipArchConfig = field(default_factory=ClipArchConfig)
     # Optional tokenizer asset dir (vocab.json + merges.txt)
     tokenizer_dir: Optional[str] = None
+    # Dispatch fused-LoRA / flash-attention Pallas kernels inside the towers
+    # (TPU only; the jnp path remains the oracle and CPU fallback)
+    use_pallas_kernels: bool = False
 
 
 @dataclass(frozen=True)
@@ -243,6 +246,7 @@ def load_clip_config(path: Optional[str] = None) -> ClipConfig:
         batch_size=inf.get("batch_size", 16),
         num_workers=inf.get("num_workers", 4),
         tokenizer_dir=model.get("tokenizer_dir"),
+        use_pallas_kernels=model.get("use_pallas_kernels", False),
     )
 
 

@@ -61,6 +61,13 @@ class ClipEncoder:
         self.preprocessor = ClipPreprocessor(config=self.cfg)
         self.eot_id = self.preprocessor.tokenizer.eot_id
         self._jit_cache: dict = {}
+        if self.cfg.use_pallas_kernels:
+            from clip_lora_match_tpu.nn.layers import set_kernel_flags
+
+            on_tpu = jax.default_backend() == "tpu"
+            set_kernel_flags(
+                fused_lora=on_tpu, flash_attention=on_tpu, interpret=not on_tpu
+            )
 
     # -- construction ---------------------------------------------------------
 

@@ -32,6 +32,26 @@ from jax import lax
 
 Params = dict[str, Any]
 
+# Kernel-dispatch switches (module-level so jit closures pick them up at trace
+# time). Enabled by ClipEncoder/config on TPU; tests flip them explicitly.
+_KERNEL_FLAGS = {"fused_lora": False, "flash_attention": False, "interpret": False}
+
+
+def set_kernel_flags(
+    fused_lora: bool | None = None,
+    flash_attention: bool | None = None,
+    interpret: bool | None = None,
+) -> dict:
+    """Toggle Pallas kernel dispatch; returns the previous flags."""
+    prev = dict(_KERNEL_FLAGS)
+    if fused_lora is not None:
+        _KERNEL_FLAGS["fused_lora"] = fused_lora
+    if flash_attention is not None:
+        _KERNEL_FLAGS["flash_attention"] = flash_attention
+    if interpret is not None:
+        _KERNEL_FLAGS["interpret"] = interpret
+    return prev
+
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP's activation: x * sigmoid(1.702 x) (HF CLIPConfig hidden_act)."""
@@ -70,6 +90,28 @@ def linear(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # Fused Pallas path: base matmul + LoRA delta in one kernel, one pass
+    # over x (inference path — no dropout).
+    if (
+        _KERNEL_FLAGS["fused_lora"]
+        and lora is not None
+        and (lora_dropout == 0.0 or dropout_rng is None)
+    ):
+        from clip_lora_match_tpu.ops.lora_matmul import lora_matmul
+
+        shape = x.shape
+        x2 = x.reshape(-1, shape[-1])
+        y = lora_matmul(
+            x2,
+            w,
+            lora["a"].astype(x.dtype),
+            lora["b"].astype(x.dtype),
+            scaling=float(lora_scaling),
+            interpret=_KERNEL_FLAGS["interpret"],
+        ).reshape(*shape[:-1], w.shape[-1])
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(y.dtype)
+        return y.astype(out_dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if lora is not None:
         a = lora["a"].astype(x.dtype)
@@ -125,15 +167,28 @@ def attention(
     k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
     v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
 
-    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
-    k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    qh = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = scores + mask.astype(scores.dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    if _KERNEL_FLAGS["flash_attention"]:
+        from clip_lora_match_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            qh, kh, vh, mask=mask, scale=hd ** -0.5,
+            interpret=_KERNEL_FLAGS["interpret"],
+        )
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh * (hd ** -0.5), kh,
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32
+        )
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
     return linear(
         p["out_proj"], out, _lora_get(lora, "out_proj"), dropout_rng=rng_for(3), **kw
