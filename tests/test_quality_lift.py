@@ -1,0 +1,90 @@
+"""Quality-reproduction proxy: the reference's headline result is that ONE
+epoch of LoRA lifts recall@1 by ~+46% relative (BASELINE.md). Without the
+pretrained weights (zero egress) the absolute numbers can't be reproduced,
+but the MECHANISM can: on a structured synthetic image–caption dataset,
+contrastive LoRA training over a frozen random CLIP must substantially
+improve diagonal-GT recall@1 measured by the same eval stack."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from clip_lora_match_tpu.core.config import (
+    ClipArchConfig,
+    LoraConfig,
+    PreprocessConfig,
+    TrainingConfig,
+)
+from clip_lora_match_tpu.eval import diagonal_metrics
+from clip_lora_match_tpu.lora import init_lora
+from clip_lora_match_tpu.models import clip as jclip
+from clip_lora_match_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+ARCH = ClipArchConfig(
+    image_size=32, patch_size=16, vision_width=32, vision_layers=2,
+    vision_heads=2, vision_mlp_dim=64, vocab_size=600, max_text_length=12,
+    text_width=32, text_layers=2, text_heads=2, text_mlp_dim=64,
+    projection_dim=16,
+)
+LORA = LoraConfig(r=8, alpha=16, dropout=0.0)
+
+
+def _make_structured_batch(n=24, seed=0):
+    """n distinct (image, caption) pairs: image i has a characteristic color
+    block pattern; caption i a characteristic token signature."""
+    rng = np.random.default_rng(seed)
+    pix = rng.normal(0, 0.1, (n, 32, 32, 3)).astype(np.float32)
+    for i in range(n):
+        # unique 2x2 grid signature per item
+        gx, gy = i % 4, (i // 4) % 4
+        pix[i, gx * 8 : gx * 8 + 8, gy * 8 : gy * 8 + 8, i % 3] += 2.0
+    ids = np.full((n, ARCH.max_text_length), 513, np.int32)
+    ids[:, 0] = 512
+    for i in range(n):
+        ids[i, 1] = 10 + i  # unique first token
+        ids[i, 2] = 100 + (i % 7)
+        ids[i, 3] = 200 + (i // 7)
+    mask = np.ones_like(ids)
+    mask[:, 5:] = 0
+    ids[:, 4] = 513
+    return {"pixel_values": pix, "input_ids": ids, "attention_mask": mask}
+
+
+def _recall1(params, lora, batch):
+    img = jclip.encode_image_features(
+        params, batch["pixel_values"], ARCH, lora=lora, lora_scaling=LORA.scaling
+    )
+    txt = jclip.encode_text_features(
+        params, batch["input_ids"], ARCH, attention_mask=batch["attention_mask"],
+        eot_id=513, lora=lora, lora_scaling=LORA.scaling,
+    )
+    return diagonal_metrics(np.asarray(img), np.asarray(txt), ks=(1,))["recall@1"]
+
+
+def test_lora_training_lifts_recall():
+    params = jclip.init_params(jax.random.PRNGKey(0), ARCH)
+    lora = init_lora(jax.random.PRNGKey(1), ARCH, LORA)
+    batch = _make_structured_batch()
+    tcfg = TrainingConfig(batch_size=24, learning_rate=5e-3, temperature=0.07)
+    tx, _ = make_optimizer(tcfg, total_steps=60)
+    state = init_train_state(lora, tx, seed=0)
+    step = make_train_step(params, ARCH, LORA, tcfg, tx, eot_id=513)
+
+    base_r1 = _recall1(params, None, batch)
+    for _ in range(60):
+        state, m = step(state, batch)
+    tuned_r1 = _recall1(params, state.lora, batch)
+
+    n = batch["input_ids"].shape[0]
+    chance = 1.0 / n
+    # adapter training must beat the untrained model decisively
+    assert tuned_r1 >= max(2 * base_r1, 0.5), (base_r1, tuned_r1)
+    assert tuned_r1 > 4 * chance
+    # and the frozen base alone must NOT already solve the task
+    assert base_r1 < 0.5
