@@ -10,14 +10,72 @@ embed throughput, so regressions in either hot path are visible per round.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.md driver target per chip
+
+# --- TPU liveness watchdog -------------------------------------------------
+# The axon relay can wedge (ops hang forever, block_until_ready lies). Probe
+# the device with a tiny op under a watchdog BEFORE importing the heavy path;
+# if it hangs, re-exec on CPU with an explicit marker so the driver still
+# records a line instead of timing out silently.
+
+
+def _probe_tpu(timeout_s: float = 90.0) -> bool:
+    result = {"ok": False}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() != "tpu":
+                result["ok"] = True  # nothing to probe
+                return
+            x = np.asarray(jnp.sum(jnp.ones((8, 8))))
+            result["ok"] = float(x) == 64.0
+        except Exception:
+            result["ok"] = False
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result["ok"]
+
+
+if os.environ.get("CLM_BENCH_NO_PROBE") != "1" and not _probe_tpu():
+    if os.environ.get("CLM_BENCH_CPU_FALLBACK") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "vit_b32_images_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "tpu_unresponsive_and_cpu_fallback_failed"},
+                }
+            )
+        )
+        sys.exit(0)
+    env = dict(os.environ)
+    env.update(
+        {
+            "CLM_BENCH_CPU_FALLBACK": "1",
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": "",
+            "PALLAS_AXON_POOL_IPS": "",
+        }
+    )
+    print("[bench] TPU unresponsive; falling back to CPU backend", file=sys.stderr)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def _sync(out):
@@ -52,14 +110,18 @@ def _bench(fn, *args, iters=10, warmup=2, label=""):
 def main():
     from clip_lora_match_tpu.core.config import ClipArchConfig
     from clip_lora_match_tpu.models import clip as clip_model
-    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve,
+        topk_retrieve_reference,
+    )
 
+    on_tpu = jax.default_backend() == "tpu"
     arch = ClipArchConfig()
     params = clip_model.init_params(jax.random.PRNGKey(0), arch)
     rng = np.random.default_rng(0)
 
     # --- image embed throughput (the headline) ---
-    B = 256
+    B = 256 if on_tpu else 16
     pix = jnp.asarray(
         rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(np.float32)
     )
@@ -75,7 +137,7 @@ def main():
     images_per_sec = B / t_img
 
     # --- text embed throughput ---
-    T = 512
+    T = 512 if on_tpu else 32
     ids = rng.integers(0, arch.vocab_size - 2, (T, arch.max_text_length)).astype(
         np.int32
     )
@@ -92,13 +154,14 @@ def main():
     t_txt = _bench(embed_texts, params, ids_j, label="text_embed")
     texts_per_sec = T / t_txt
 
-    # --- fused retrieval qps ---
-    N, D, Q, k = 40960, 512, 256, 10
+    # --- fused retrieval qps (Pallas kernel on TPU; jnp oracle on CPU) ---
+    N, D, Q, k = (40960, 512, 256, 10) if on_tpu else (4096, 512, 64, 10)
     index = rng.normal(size=(N, D)).astype(np.float32)
     index /= np.linalg.norm(index, axis=1, keepdims=True)
     qs = jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32))
     index_j = jnp.asarray(index)
-    t_topk = _bench(lambda a, b: topk_retrieve(a, b, k), qs, index_j, label="topk")
+    topk_fn = topk_retrieve if on_tpu else topk_retrieve_reference
+    t_topk = _bench(lambda a, b: topk_fn(a, b, k), qs, index_j, label="topk")
     qps = Q / t_topk
 
     print(
@@ -110,7 +173,8 @@ def main():
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
                 "extra": {
                     "texts_per_sec": round(texts_per_sec, 1),
-                    "topk_qps_n40960_k10": round(qps, 1),
+                    "topk_qps": round(qps, 1),
+                    "topk_n": N,
                     "image_batch": B,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
