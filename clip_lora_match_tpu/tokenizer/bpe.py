@@ -152,6 +152,10 @@ class ClipTokenizer:
         self.pad_id = self.eot_id  # CLIP pads with <|endoftext|>
         self.unk_id = self.eot_id
         self._cache: dict[str, str] = {SOT_TOKEN: SOT_TOKEN, EOT_TOKEN: EOT_TOKEN}
+        self._id_cache: dict[str, list[int]] = {}
+        self._merges_ranked = [tuple(m) for m in merges]
+        self._native = None  # lazy C++ merge core (tokenizer/native_bpe.py)
+        self._native_tried = False
 
     # -- constructors -------------------------------------------------------
 
@@ -227,8 +231,43 @@ class ClipTokenizer:
             tokens.extend(self._bpe(byte_word).split(" "))
         return tokens
 
+    def _get_native(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from clip_lora_match_tpu.tokenizer.native_bpe import (
+                    NativeBPE,
+                    native_bpe_available,
+                )
+
+                if native_bpe_available():
+                    self._native = NativeBPE(
+                        self.encoder, self._merges_ranked, self.unk_id
+                    )
+            except Exception:
+                self._native = None
+        return self._native
+
+    def _word_ids(self, byte_word: str) -> list[int]:
+        """Byte-alphabet word → ids, via the C++ merge core when built."""
+        cached = self._id_cache.get(byte_word)
+        if cached is not None:
+            return cached
+        native = self._get_native()
+        ids = native.encode_word(byte_word) if native is not None else None
+        if ids is None:
+            ids = [
+                self.encoder.get(t, self.unk_id)
+                for t in self._bpe(byte_word).split(" ")
+            ]
+        self._id_cache[byte_word] = ids
+        return ids
+
     def encode(self, text: str, add_specials: bool = True) -> list[int]:
-        ids = [self.encoder.get(t, self.unk_id) for t in self.tokenize(text)]
+        ids: list[int] = []
+        for word in _WORD_PATTERN.findall(clean_text(text)):
+            byte_word = "".join(self.byte_encoder[b] for b in word.encode("utf-8"))
+            ids.extend(self._word_ids(byte_word))
         if add_specials:
             return [self.sot_id] + ids + [self.eot_id]
         return ids
