@@ -26,7 +26,7 @@ BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.md driver target per chip
 # records a line instead of timing out silently.
 
 
-def _probe_tpu(timeout_s: float = 90.0) -> bool:
+def _probe_tpu(timeout_s: float = 300.0) -> bool:
     result = {"ok": False}
 
     def probe():
