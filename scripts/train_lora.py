@@ -9,14 +9,30 @@ def main():
     p = argparse.ArgumentParser(description="Contrastive LoRA fine-tune of CLIP")
     p.add_argument("--config", default=DEFAULT_LORA_CONFIG)
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument(
+        "--arch", choices=["vit-b32", "tiny"], default="vit-b32",
+        help="'tiny' trains a miniature tower (CPU-friendly smoke runs)",
+    )
     add_encoder_args(p)
     args = p.parse_args()
 
     from clip_lora_match_tpu.train import train
 
+    arch = None
+    if args.arch == "tiny":
+        from clip_lora_match_tpu.core.config import ClipArchConfig
+
+        arch = ClipArchConfig(
+            image_size=64, patch_size=16, vision_width=64, vision_layers=2,
+            vision_heads=4, vision_mlp_dim=128, vocab_size=600,
+            max_text_length=32, text_width=64, text_layers=2, text_heads=4,
+            text_mlp_dim=128, projection_dim=32,
+        )
+
     result = train(
         config_path=args.config,
         weights_path=args.weights,
+        arch=arch,
         max_steps_per_epoch=args.max_steps_per_epoch,
     )
     print(
