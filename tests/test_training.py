@@ -254,3 +254,22 @@ def test_train_e2e_and_resume(csv_dataset, tmp_path):
         tokenizer=ClipTokenizer.from_dir(None, max_length=16),
     )
     assert res2.steps == 0 and res2.epochs == 0  # nothing left to do
+
+
+def test_grain_pipeline_matches_contract(csv_dataset):
+    """Optional grain backend yields the same batch contract."""
+    pytest.importorskip("grain")
+    from clip_lora_match_tpu.data.grain_pipeline import grain_batch_iterator
+
+    csv_path, root = csv_dataset
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    ds = ClipPairDataset(
+        csv_path, tok, PreprocessConfig(image_size=32, max_text_length=16),
+        image_root=root,
+    )
+    batches = list(grain_batch_iterator(ds, 8, shuffle=True, seed=1, epoch=0))
+    assert len(batches) == 2
+    assert batches[0]["pixel_values"].shape == (8, 32, 32, 3)
+    assert batches[0]["input_ids"].shape == (8, 16)
+    again = list(grain_batch_iterator(ds, 8, shuffle=True, seed=1, epoch=0))
+    np.testing.assert_array_equal(batches[0]["input_ids"], again[0]["input_ids"])
