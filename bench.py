@@ -87,24 +87,34 @@ def _sync(out):
     np.asarray(leaf)
 
 
-def _bench(fn, *args, iters=10, warmup=2, label=""):
-    import sys
+def _burst(fn, args, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return time.perf_counter() - t0
 
+
+def _bench(fn, *args, iters=10, warmup=2, label=""):
+    """Paired-burst timing: run bursts of N and 3N with one transfer-sync
+    each; per-iteration time = (t_3N - t_N) / 2N. The subtraction cancels the
+    relay's constant dispatch/RTT overhead (which otherwise dominates when
+    benchmarking through the tunnel) while the end-of-burst device→host
+    transfer guarantees real execution (block_until_ready alone can lie on
+    this platform)."""
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
     print(f"[bench] {label}: warmed up", file=sys.stderr)
-    # per-iteration sync: slightly pessimistic (adds one small D2H per step)
-    # but robust against the relay's async dispatch anomalies
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    print(f"[bench] {label}: best {best * 1e3:.2f} ms over {iters}", file=sys.stderr)
-    return best
+    t_small = _burst(fn, args, iters)
+    t_large = _burst(fn, args, 3 * iters)
+    per_iter = max((t_large - t_small) / (2 * iters), 1e-9)
+    print(
+        f"[bench] {label}: {per_iter * 1e3:.2f} ms/iter "
+        f"(bursts {t_small * 1e3:.0f}/{t_large * 1e3:.0f} ms)",
+        file=sys.stderr,
+    )
+    return per_iter
 
 
 def main():
