@@ -120,6 +120,26 @@ def train(
     eval_step = make_eval_step(params, arch, lora_cfg, train_cfg,
                                eot_id=tokenizer.eot_id)
 
+    # Data-parallel: with >1 device, batch_size is the GLOBAL batch; shard it
+    # over the mesh's data axis (GSPMD adds the global-negative all-gather +
+    # grad psum). Single device: plain jit, no placement overhead.
+    mesh = None
+    if jax.device_count() > 1:
+        from clip_lora_match_tpu.parallel import make_mesh, replicated, shard_batch
+
+        if train_cfg.batch_size % jax.device_count():
+            log.warning(
+                "batch_size %d not divisible by %d devices; single-device mode",
+                train_cfg.batch_size, jax.device_count(),
+            )
+        else:
+            mesh = make_mesh()
+            state = jax.device_put(state, replicated(mesh))
+            log.info("data-parallel over %d devices", mesh.devices.size)
+
+    def place_batch(b):
+        return shard_batch(mesh, b) if mesh is not None else b
+
     os.makedirs(train_cfg.output_dir, exist_ok=True)
     metrics = MetricsWriter(
         metrics_path
@@ -145,7 +165,7 @@ def train(
         for i, batch in enumerate(it):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            state, m = train_step(state, batch)
+            state, m = train_step(state, place_batch(batch))
             loss = float(m["loss"])
             result.train_losses.append(loss)
             running += loss
@@ -166,7 +186,7 @@ def train(
         # per-epoch validation loss (ref:train_lora.py:214-241)
         if val_ds is not None and len(val_ds) >= train_cfg.batch_size:
             vlosses = [
-                float(eval_step(state.lora, b))
+                float(eval_step(state.lora, place_batch(b)))
                 for b in batch_iterator(
                     val_ds, train_cfg.batch_size, shuffle=False
                 )
