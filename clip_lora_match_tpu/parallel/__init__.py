@@ -1,3 +1,5 @@
+from clip_lora_match_tpu.parallel.distributed import initialize_distributed, is_primary
+from clip_lora_match_tpu.parallel.sharded_encode import ShardedEncoder, sharded_text_encode_fn
 from clip_lora_match_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -9,6 +11,10 @@ from clip_lora_match_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "is_primary",
+    "ShardedEncoder",
+    "sharded_text_encode_fn",
     "DATA_AXIS",
     "MODEL_AXIS",
     "data_sharded",

@@ -1,5 +1,6 @@
 from clip_lora_match_tpu.services.finder import FinderConfig, FinderService, ReportResult
 from clip_lora_match_tpu.services.seeker import SeekerConfig, SeekerService
+from clip_lora_match_tpu.services.batch_queue import EncoderBatchQueue
 
 __all__ = [
     "FinderConfig",
@@ -7,4 +8,5 @@ __all__ = [
     "ReportResult",
     "SeekerConfig",
     "SeekerService",
+    "EncoderBatchQueue",
 ]
