@@ -34,6 +34,15 @@ def _l2norm_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     return x / np.maximum(n, eps)
 
 
+# Donating the arena lets the row write reuse its buffer instead of copying
+# the whole arena per insert — true O(1) device append. (Safe: the previous
+# arena reference is dropped on assignment, and slices taken earlier are
+# independent buffers.)
+_arena_set_row = jax.jit(
+    lambda arena, row, i: arena.at[i].set(row), donate_argnums=(0,)
+)
+
+
 class EmbeddingIndex:
     """In-memory (device-backed) embedding index with metadata."""
 
@@ -115,7 +124,9 @@ class EmbeddingIndex:
             arena[self.size] = vec
             self._arena = jnp.asarray(arena)
         else:
-            self._arena = self._arena.at[self.size].set(jnp.asarray(vec))
+            self._arena = _arena_set_row(
+                self._arena, jnp.asarray(vec), jnp.asarray(self.size)
+            )
         self.image_paths.append(image_path or "")
         self.texts.append(text or "")
         self.size += 1
