@@ -124,8 +124,8 @@ class ClipEncoder:
 
     # -- compiled kernels ------------------------------------------------------
 
-    def _image_fn(self):
-        key = ("img", self.lora is not None)
+    def _image_fn(self, normalize: bool = True):
+        key = ("img", self.lora is not None, normalize)
         if key not in self._jit_cache:
 
             @partial(jax.jit, static_argnames=())
@@ -138,13 +138,15 @@ class ClipEncoder:
                     lora_scaling=self.lora_scaling,
                     compute_dtype=self.compute_dtype,
                 )
-                return clip_model.l2_normalize(feats).astype(jnp.float32)
+                if normalize:
+                    feats = clip_model.l2_normalize(feats)
+                return feats.astype(jnp.float32)
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def _text_fn(self):
-        key = ("txt", self.lora is not None)
+    def _text_fn(self, normalize: bool = True):
+        key = ("txt", self.lora is not None, normalize)
         if key not in self._jit_cache:
 
             @partial(jax.jit, static_argnames=())
@@ -159,7 +161,9 @@ class ClipEncoder:
                     lora_scaling=self.lora_scaling,
                     compute_dtype=self.compute_dtype,
                 )
-                return clip_model.l2_normalize(feats).astype(jnp.float32)
+                if normalize:
+                    feats = clip_model.l2_normalize(feats)
+                return feats.astype(jnp.float32)
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
@@ -175,9 +179,10 @@ class ClipEncoder:
         if b != n:
             pad = np.zeros((b - n,) + pixel_values.shape[1:], pixel_values.dtype)
             pixel_values = np.concatenate([pixel_values, pad])
-        out = self._image_fn()(self.params, self.lora, jnp.asarray(pixel_values))
-        out = np.asarray(out[:n])
-        return out if normalize else out  # already normalized; kept for API parity
+        out = self._image_fn(normalize)(
+            self.params, self.lora, jnp.asarray(pixel_values)
+        )
+        return np.asarray(out[:n])
 
     def encode_text_batch(
         self,
@@ -196,7 +201,7 @@ class ClipEncoder:
             pad_mask = np.zeros((b - n, input_ids.shape[1]), attention_mask.dtype)
             input_ids = np.concatenate([input_ids, pad_ids])
             attention_mask = np.concatenate([attention_mask, pad_mask])
-        out = self._text_fn()(
+        out = self._text_fn(normalize)(
             self.params, self.lora, jnp.asarray(input_ids), jnp.asarray(attention_mask)
         )
         return np.asarray(out[:n])
