@@ -12,7 +12,7 @@ pixel_values/input_ids/attention_mask, per-epoch deterministic order.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -17,11 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from clip_lora_match_tpu.core.config import (
-    CLIP_IMAGE_MEAN,
-    CLIP_IMAGE_STD,
-    PreprocessConfig,
-)
+from clip_lora_match_tpu.core.config import PreprocessConfig
 from clip_lora_match_tpu.core.logging import get_logger
 
 log = get_logger("native")

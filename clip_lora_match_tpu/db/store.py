@@ -19,7 +19,7 @@ import os
 import sqlite3
 import threading
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 from clip_lora_match_tpu.core.config import DBConfig
 

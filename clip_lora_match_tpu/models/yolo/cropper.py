@@ -20,7 +20,6 @@ import os
 from dataclasses import dataclass
 from typing import Optional, Protocol, Sequence
 
-import numpy as np
 from PIL import Image
 
 from clip_lora_match_tpu.core.config import YoloConfig, load_yolo_config

@@ -30,7 +30,7 @@ from PIL import Image
 
 from clip_lora_match_tpu.core.config import YoloConfig
 from clip_lora_match_tpu.models.yolo.cropper import Detection
-from clip_lora_match_tpu.models.yolo.postprocess import clamp_boxes, nms_fixed
+from clip_lora_match_tpu.models.yolo.postprocess import nms_fixed
 
 Params = dict[str, Any]
 
@@ -428,7 +428,7 @@ class YoloV8Detector:
 def load_detector(weights_path: str, cfg: Optional[YoloConfig] = None) -> YoloV8Detector:
     """Load from an .npz of ultralytics state_dict arrays, or a native .npz
     param tree (models/io format)."""
-    from clip_lora_match_tpu.models.io import load_params, unflatten_params
+    from clip_lora_match_tpu.models.io import unflatten_params
 
     with np.load(weights_path) as data:
         keys = list(data.files)

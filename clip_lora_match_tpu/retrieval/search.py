@@ -10,7 +10,7 @@ per service like ref:src/api/main.py:52-62).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -22,7 +22,7 @@ import datetime as dt
 import os
 import shutil
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from clip_lora_match_tpu.core.logging import get_logger

@@ -10,7 +10,7 @@ written for drop-in parity with the reference's ``epoch_{k}`` directories.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

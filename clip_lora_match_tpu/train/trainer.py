@@ -39,7 +39,6 @@ from clip_lora_match_tpu.models.io import load_params
 from clip_lora_match_tpu.tokenizer import ClipTokenizer
 from clip_lora_match_tpu.train.checkpoint import CheckpointManager
 from clip_lora_match_tpu.train.step import (
-    TrainState,
     init_train_state,
     make_eval_step,
     make_optimizer,
