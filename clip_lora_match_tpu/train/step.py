@@ -102,10 +102,12 @@ def make_train_step(
     compute_dtype=None,
     remat: bool = True,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Build the jit'd train step; ``params`` (frozen base) is a closure
-    constant, only the LoRA tree is differentiated and updated."""
+    """Build the jit'd train step. The frozen base params are a jit ARGUMENT
+    (not a closure capture — captured arrays embed as HLO constants, which
+    bloats the compile payload by the full 151M-param model and can exceed
+    compile-service request limits); only the LoRA tree is differentiated."""
 
-    def _loss(lora, batch, rng):
+    def _loss(lora, params, batch, rng):
         img, txt = _tower_features(
             params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
             dropout_rng=rng if lora_cfg.dropout > 0 else None,
@@ -113,15 +115,18 @@ def make_train_step(
         return clip_contrastive_loss(img, txt, train_cfg.temperature)
 
     @jax.jit
-    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+    def _step(params, state: TrainState, batch: dict):
         rng, new_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(_loss)(state.lora, batch, rng)
+        loss, grads = jax.value_and_grad(_loss)(state.lora, params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
         new_state = TrainState(
             lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
         )
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        return _step(params, state, batch)
 
     return step
 
@@ -135,14 +140,17 @@ def make_eval_step(
     compute_dtype=None,
 ) -> Callable[[Params, dict], jnp.ndarray]:
     """Validation loss (ref:train_lora.py:214-241's eval-mode loop body —
-    no dropout, no grads)."""
+    no dropout, no grads). Params are a jit argument, not a captured const."""
 
     @jax.jit
-    def step(lora: Params, batch: dict) -> jnp.ndarray:
+    def _step(params, lora: Params, batch: dict) -> jnp.ndarray:
         img, txt = _tower_features(
             params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, False
         )
         return clip_contrastive_loss(img, txt, train_cfg.temperature)
+
+    def step(lora: Params, batch: dict) -> jnp.ndarray:
+        return _step(params, lora, batch)
 
     return step
 
