@@ -1,0 +1,56 @@
+"""Subprocess smoke tests for the CLI layer (marked slow: each spawns a
+fresh interpreter with full ViT-B/32 random init on CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {
+    **os.environ,
+    "PYTHONPATH": "",
+    "PALLAS_AXON_POOL_IPS": "",
+    "JAX_PLATFORMS": "cpu",
+    "USE_TF": "0",
+}
+
+
+def _run(args, timeout=240):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_build_and_search_cli(tmp_path):
+    out = str(tmp_path / "idx.npz")
+    r = _run(["scripts/build_custom_index.py", "--csv", "data/custom/my_items.csv",
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "5 items" in r.stdout
+    r = _run(["scripts/demo_search_text_custom.py", "--index", out,
+              "--query", "payung hitam"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "Payung" in r.stdout
+
+
+def test_verify_data_structure_cli():
+    r = _run(["scripts/verify_data_structure.py", "--epochs"])  # no epochs
+    assert r.returncode == 0, r.stdout + r.stderr[-500:]
+    assert "ALL OK" in r.stdout
+
+
+def test_eval_similarity_cli(tmp_path):
+    out = str(tmp_path / "idx.npz")
+    r = _run(["scripts/build_custom_index.py", "--csv", "data/custom/my_items.csv",
+              "--out", out])
+    assert r.returncode == 0
+    r = _run(["scripts/eval_similarity.py", "--index", out, "--queries", "16",
+              "--iters", "3"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "queries/sec" in r.stdout
