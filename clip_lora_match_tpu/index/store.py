@@ -54,7 +54,12 @@ class EmbeddingIndex:
         dim: int = 512,
         normalize: bool = True,
         capacity: int = 0,
+        storage_dtype: str = "float32",
     ):
+        """storage_dtype="bfloat16" halves the arena's HBM footprint and the
+        retrieval kernel's bandwidth (scores still accumulate in fp32 —
+        cosine error ~1e-3, negligible for ranking); metadata and disk
+        formats remain fp32."""
         if embeddings is None:
             embeddings = np.zeros((0, dim), np.float32)
         embeddings = np.asarray(embeddings, np.float32)
@@ -70,8 +75,9 @@ class EmbeddingIndex:
         cap = max(capacity, self.size, 1)
         arena = np.zeros((cap, self.dim), np.float32)
         arena[: self.size] = embeddings
+        self._storage_dtype = jnp.dtype(storage_dtype)
         # device-resident arena; queries slice [:size]
-        self._arena = jnp.asarray(arena)
+        self._arena = jnp.asarray(arena).astype(self._storage_dtype)
 
     def _warn_on_mismatch(self):
         # tolerate metadata count mismatches with a warning (ref:search.py:58-62)
@@ -90,7 +96,7 @@ class EmbeddingIndex:
         return self._arena[: self.size]
 
     def embeddings_np(self) -> np.ndarray:
-        return np.asarray(self.embeddings)
+        return np.asarray(self.embeddings.astype(jnp.float32))
 
     def metadata(self, i: int) -> tuple[Optional[str], Optional[str]]:
         """Safe metadata lookup (ref:search.py:104-105)."""
@@ -118,14 +124,16 @@ class EmbeddingIndex:
             vec = _l2norm_rows(vec[None])[0]
         cap = self._arena.shape[0]
         if self.size >= cap:
-            host = np.asarray(self._arena)
+            host = np.asarray(self._arena.astype(jnp.float32))
             arena = np.zeros((max(2 * cap, 8), self.dim), np.float32)
             arena[: self.size] = host[: self.size]
             arena[self.size] = vec
-            self._arena = jnp.asarray(arena)
+            self._arena = jnp.asarray(arena).astype(self._storage_dtype)
         else:
             self._arena = _arena_set_row(
-                self._arena, jnp.asarray(vec), jnp.asarray(self.size)
+                self._arena,
+                jnp.asarray(vec).astype(self._storage_dtype),
+                jnp.asarray(self.size),
             )
         self.image_paths.append(image_path or "")
         self.texts.append(text or "")

@@ -109,7 +109,9 @@ def topk_retrieve(
     """Fused top-k cosine retrieval.
 
     queries: (Q, D) — normalized IN-KERNEL (callers may pass raw embeddings).
-    index:   (N, D) — assumed L2-normalized (EmbeddingIndex guarantees this).
+    index:   (N, D) fp32 or bf16 — assumed L2-normalized (EmbeddingIndex
+             guarantees this); bf16 storage halves the HBM stream, scores
+             still accumulate in fp32.
     Returns (scores (Q, k) fp32 desc-sorted, indices (Q, k) int32).
     """
     Q, D = queries.shape
