@@ -190,7 +190,58 @@ def main():
                     "device": str(jax.devices()[0]),
                 },
             }
-        )
+        ),
+        flush=True,
+    )
+
+    # Secondary (stderr-only, AFTER the driver's JSON line so a hang here
+    # cannot lose the headline): full-size LoRA train-step throughput.
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_TRAIN") != "1":
+        try:
+            _train_step_extra(arch, params, rng)
+        except Exception as e:  # never fail the bench for the extra
+            print(f"[bench] train-step extra failed: {e}", file=sys.stderr)
+
+
+def _train_step_extra(arch, params, rng):
+    from clip_lora_match_tpu.core.config import LoraConfig, TrainingConfig
+    from clip_lora_match_tpu.lora import init_lora
+    from clip_lora_match_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    lora_cfg = LoraConfig()
+    tcfg = TrainingConfig(batch_size=128)
+    tx, _ = make_optimizer(tcfg, 100)
+    state = init_train_state(init_lora(jax.random.PRNGKey(1), arch, lora_cfg), tx)
+    step = make_train_step(
+        params, arch, lora_cfg, tcfg, tx,
+        eot_id=arch.vocab_size - 1, compute_dtype=jnp.bfloat16,
+    )
+    B = tcfg.batch_size
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(
+                np.float32
+            )
+        ),
+        "input_ids": jnp.asarray(
+            rng.integers(0, arch.vocab_size - 2, (B, arch.max_text_length)).astype(
+                np.int32
+            )
+        ),
+        "attention_mask": jnp.asarray(
+            np.ones((B, arch.max_text_length), np.int32)
+        ),
+    }
+    t = _bench(lambda s, b: step(s, b)[1], state, batch, iters=4,
+               label="train_step")
+    print(
+        f"[bench] train step B={B}: {t * 1e3:.1f} ms -> "
+        f"{B / t:,.0f} examples/s/chip",
+        file=sys.stderr,
     )
 
 
