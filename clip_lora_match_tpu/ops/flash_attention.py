@@ -2,13 +2,15 @@
 
 At CLIP's sequence lengths (50 vision / 77 text tokens) attention is tiny —
 the win here is fusing QK^T → mask → online-softmax → PV into one kernel so
-the (B, H, S, S) score tensor never round-trips through HBM, and keeping the
-structure blockwise over KV so the same kernel scales to long sequences
+the (B, H, S, S) score tensor never round-trips through HBM, while keeping
+the structure blockwise over KV so the same kernel scales to long sequences
 (SURVEY §5: "write attention as a Pallas flash-attention block kernel anyway;
 do NOT build ring/Ulysses machinery the reference lacks").
 
-Layout: inputs (B, H, S, d) with d padded to 128 lanes by the caller-facing
-wrapper; grid (B*H, S_q blocks); KV streamed in blocks with running
+Layout: inputs (B, H, S, d); batch·head pairs are processed ``group`` at a
+time per grid step (batched dot_generals over the leading axis) — without
+grouping, B·H tiny kernel launches serialize and dominate at small S.
+Grid (BH/group, S_q blocks, KV blocks); KV streamed with running
 (max, denom) online-softmax state in VMEM scratch.
 """
 
@@ -34,31 +36,35 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, d_scr, acc, *, scale, n
         d_scr[:] = jnp.zeros_like(d_scr)
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (bkv, d)
-    v = v_ref[0].astype(jnp.float32)  # (bkv, d)
+    q = q_ref[:].astype(jnp.float32) * scale  # (G, bq, d)
+    k = k_ref[:].astype(jnp.float32)  # (G, bkv, d)
+    v = v_ref[:].astype(jnp.float32)  # (G, bkv, d)
+    # batched over the group axis: (G, bq, bkv)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bkv)
-    s = s + mask_ref[0].astype(jnp.float32)
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s + mask_ref[:].astype(jnp.float32)
 
-    m_prev = m_scr[:]  # (bq, 128) broadcast column copies
-    m_cur = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
-    m_new = jnp.maximum(m_prev[:, :1], m_cur)  # (bq, 1)
-    alpha = jnp.exp(m_prev[:, :1] - m_new)  # rescale factor for old state
-    p = jnp.exp(s - m_new)  # (bq, bkv)
-    d_new = d_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc[:] = acc[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_prev = m_scr[:]  # (G, bq, 128); column 0 is live
+    m_cur = jnp.max(s, axis=2, keepdims=True)  # (G, bq, 1)
+    m_new = jnp.maximum(m_prev[:, :, :1], m_cur)
+    alpha = jnp.exp(m_prev[:, :, :1] - m_new)
+    p = jnp.exp(s - m_new)  # (G, bq, bkv)
+    d_new = d_scr[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (G, bq, d)
+    acc[:] = acc[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     d_scr[:] = jnp.broadcast_to(d_new, d_scr.shape)
 
     @pl.when(kv_step == n_kv - 1)
     def _():
-        o_ref[0] = (acc[:] / d_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[:] = (acc[:] / d_scr[:, :, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "group", "interpret")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -68,6 +74,7 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = 128,
     block_kv: int = 128,
+    group: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, H, S, d) fused attention with additive mask (B|1, 1, S, S)."""
@@ -77,6 +84,11 @@ def flash_attention(
     bkv = min(block_kv, S)
     sq = -(-S // bq) * bq
     skv = -(-S // bkv) * bkv
+    BH = B * H
+    G = group
+    while BH % G:
+        G //= 2
+    G = max(G, 1)
 
     if mask is None:
         mask = jnp.zeros((1, 1, S, S), jnp.float32)
@@ -90,30 +102,35 @@ def flash_attention(
         mask, ((0, 0), (0, 0), (0, sq - S), (0, skv - S)), constant_values=NEG_INF
     )
 
-    qf = qp.reshape(B * H, sq, d)
-    kf = kp.reshape(B * H, skv, d)
-    vf = vp.reshape(B * H, skv, d)
-    mf = jnp.broadcast_to(mp, (B, H, sq, skv)).reshape(B * H, sq, skv)
+    qf = qp.reshape(BH, sq, d)
+    kf = kp.reshape(BH, skv, d)
+    vf = vp.reshape(BH, skv, d)
+    mf = jnp.broadcast_to(mp, (B, H, sq, skv)).reshape(BH, sq, skv)
 
     n_kv = skv // bkv
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, n_kv=n_kv),
-        grid=(B * H, sq // bq, n_kv),
+        grid=(BH // G, sq // bq, n_kv),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, bkv), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bkv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bkv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, bkv), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            (G, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, sq, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((G, bq, 128), jnp.float32),
+            pltpu.VMEM((G, bq, 128), jnp.float32),
+            pltpu.VMEM((G, bq, d), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * sq * skv * d,
+            bytes_accessed=BH * (sq + 2 * skv) * d * 4 + BH * sq * skv * 4,
+            transcendentals=BH * sq * skv,
+        ),
         interpret=interpret,
     )(qf, kf, vf, mf)
     return out.reshape(B, H, sq, d)[:, :, :S]
