@@ -65,8 +65,11 @@ class ClipEncoder:
             from clip_lora_match_tpu.nn.layers import set_kernel_flags
 
             on_tpu = jax.default_backend() == "tpu"
+            # flash attention measured slower than XLA's fused attention at
+            # CLIP's 50/77-token sequences (docs/DESIGN.md §7.3) — only the
+            # fused-LoRA matmul earns default dispatch here
             set_kernel_flags(
-                fused_lora=on_tpu, flash_attention=on_tpu, interpret=not on_tpu
+                fused_lora=on_tpu, flash_attention=False, interpret=not on_tpu
             )
 
     # -- construction ---------------------------------------------------------
