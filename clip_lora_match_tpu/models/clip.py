@@ -74,7 +74,7 @@ def _init_block(key, width, mlp_dim, n_layers):
 def init_params(key: jax.Array, arch: ClipArchConfig | None = None) -> Params:
     """Random-initialize the full CLIP param tree (ViT-B/32 by default)."""
     arch = arch or ClipArchConfig()
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
     patch_dim = arch.patch_size * arch.patch_size * 3
     vw, tw = arch.vision_width, arch.text_width
 
@@ -118,7 +118,7 @@ def init_params(key: jax.Array, arch: ClipArchConfig | None = None) -> Params:
             * 0.01,
             "blocks": text_blocks,
             "ln_final": _init_ln(tw),
-            "proj": {"kernel": jax.random.normal(keys[5], (tw, arch.projection_dim), jnp.float32) * (tw ** -0.5)},
+            "proj": {"kernel": jax.random.normal(keys[8], (tw, arch.projection_dim), jnp.float32) * (tw ** -0.5)},
         },
         "logit_scale": jnp.asarray(arch.logit_scale_init, jnp.float32),
     }

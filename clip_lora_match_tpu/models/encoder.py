@@ -56,7 +56,16 @@ class ClipEncoder:
         self.params = params
         self.lora = lora
         self.lora_scaling = lora_scaling
-        dt = compute_dtype or (None if self.cfg.dtype == "float32" else self.cfg.dtype)
+        # Matmul dtype resolution: explicit arg wins; otherwise the YAML
+        # `compute_dtype` knob (default bfloat16) applies on TPU, while CPU
+        # parity runs follow the fp32 storage dtype. Pass "float32" to force
+        # full precision on TPU.
+        if compute_dtype is not None:
+            dt = compute_dtype
+        elif jax.default_backend() == "tpu":
+            dt = self.cfg.compute_dtype
+        else:
+            dt = self.cfg.dtype
         self.compute_dtype = jnp.dtype(dt) if dt not in (None, "float32") else None
         self.preprocessor = ClipPreprocessor(config=self.cfg)
         self.eot_id = self.preprocessor.tokenizer.eot_id
@@ -128,7 +137,9 @@ class ClipEncoder:
     # -- compiled kernels ------------------------------------------------------
 
     def _image_fn(self, normalize: bool = True):
-        key = ("img", self.lora is not None, normalize)
+        from clip_lora_match_tpu.nn.layers import get_kernel_flags
+
+        key = ("img", self.lora is not None, normalize, get_kernel_flags())
         if key not in self._jit_cache:
 
             @partial(jax.jit, static_argnames=())
@@ -149,7 +160,9 @@ class ClipEncoder:
         return self._jit_cache[key]
 
     def _text_fn(self, normalize: bool = True):
-        key = ("txt", self.lora is not None, normalize)
+        from clip_lora_match_tpu.nn.layers import get_kernel_flags
+
+        key = ("txt", self.lora is not None, normalize, get_kernel_flags())
         if key not in self._jit_cache:
 
             @partial(jax.jit, static_argnames=())

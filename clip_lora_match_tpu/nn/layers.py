@@ -53,6 +53,12 @@ def set_kernel_flags(
     return prev
 
 
+def get_kernel_flags() -> tuple:
+    """Hashable snapshot of the dispatch flags — include in jit cache keys so
+    flag flips after a cache is populated retrace instead of being ignored."""
+    return tuple(sorted(_KERNEL_FLAGS.items()))
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP's activation: x * sigmoid(1.702 x) (HF CLIPConfig hidden_act)."""
     return x * jax.nn.sigmoid(1.702 * x)

@@ -44,24 +44,17 @@ def _kernel(x_ref, w_ref, a_ref, b_ref, o_ref, acc, ab_acc, *, scaling, n_k):
         o_ref[:] = (acc[:] + scaling * delta).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scaling", "block_m", "block_n", "block_k", "interpret")
-)
-def lora_matmul(
+def _lora_matmul_impl(
     x: jnp.ndarray,
     w: jnp.ndarray,
     a: jnp.ndarray,
     b: jnp.ndarray,
-    scaling: float = 1.0,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
-    interpret: bool = False,
+    scaling: float,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    interpret: bool,
 ) -> jnp.ndarray:
-    """x: (M, K), w: (K, N), a: (K, r), b: (r, N) → (M, N) fp32-accumulated.
-
-    r is padded to 128 lanes internally; callers pass the true rank-r factors.
-    """
     M, K = x.shape
     N = w.shape[1]
     r = a.shape[1]
@@ -110,6 +103,70 @@ def lora_matmul(
         interpret=interpret,
     )(x_p, w_p, a_p, b_p)
     return out[:M, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _lora_matmul(x, w, a, b, scaling, block_m, block_n, block_k, interpret):
+    return _lora_matmul_impl(
+        x, w, a, b, scaling, block_m, block_n, block_k, interpret
+    )
+
+
+def _lora_matmul_fwd(x, w, a, b, scaling, block_m, block_n, block_k, interpret):
+    y = _lora_matmul_impl(
+        x, w, a, b, scaling, block_m, block_n, block_k, interpret
+    )
+    return y, (x, w, a, b)
+
+
+def _lora_matmul_bwd(scaling, block_m, block_n, block_k, interpret, res, g):
+    """Backward as plain XLA matmuls (fp32 accumulation).
+
+    Cotangents for frozen inputs (the base ``w`` during LoRA training, where
+    it enters the traced function as a constant) are dead code and get DCE'd
+    by XLA — only the live adapter/activation gradients survive compilation.
+    """
+    x, w, a, b = res
+    f32 = jnp.float32
+    gb = jnp.dot(g, b.T, preferred_element_type=f32).astype(x.dtype)  # (M, r)
+    dx = (
+        jnp.dot(g, w.T, preferred_element_type=f32)
+        + scaling * jnp.dot(gb, a.T, preferred_element_type=f32)
+    ).astype(x.dtype)
+    dw = jnp.dot(x.T, g, preferred_element_type=f32).astype(w.dtype)
+    da = (scaling * jnp.dot(x.T, gb, preferred_element_type=f32)).astype(a.dtype)
+    xa = jnp.dot(x, a, preferred_element_type=f32).astype(x.dtype)  # (M, r)
+    db = (scaling * jnp.dot(xa.T, g, preferred_element_type=f32)).astype(b.dtype)
+    return dx, dw, da, db
+
+
+_lora_matmul.defvjp(_lora_matmul_fwd, _lora_matmul_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scaling", "block_m", "block_n", "block_k", "interpret")
+)
+def lora_matmul(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    scaling: float = 1.0,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: (M, K), w: (K, N), a: (K, r), b: (r, N) → (M, N) fp32-accumulated.
+
+    r is padded to 128 lanes internally; callers pass the true rank-r factors.
+    Differentiable: forward runs the fused Pallas kernel, backward is defined
+    via custom_vjp as standard matmul gradients, so the fused path is safe
+    under ``jax.grad`` (train steps with lora_dropout=0 take it).
+    """
+    return _lora_matmul(
+        x, w, a, b, float(scaling), block_m, block_n, block_k, interpret
+    )
 
 
 def lora_matmul_reference(x, w, a, b, scaling=1.0):

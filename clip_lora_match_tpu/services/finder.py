@@ -118,13 +118,17 @@ class FinderService:
             item_id = None
             if self.store is not None:
                 try:
+                    # DB row parity (ref L187-199): the reference stores the
+                    # location-joined full_text as description and defaults
+                    # found_at to now() — NULL found_at would also perturb the
+                    # ORDER BY found_at DESC listing in /api/items.
                     item_id = self.store.insert(
                         FoundItem(
                             id=None,
                             image_path=dest,
-                            description=description,
+                            description=indexed_text,
                             location=location,
-                            found_at=found_at,
+                            found_at=found_at or dt.datetime.now(),
                             reporter=reporter,
                         )
                     )

@@ -184,3 +184,18 @@ def test_full_vit_b32_parity():
         for i in range(ours.shape[0]):
             assert _cosine(ours[i], theirs[i]) >= 0.999
         np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_init_params_rng_keys_uncorrelated():
+    """r1 advisor: visual and text projection inits must come from distinct
+    RNG keys (a shared key correlates the towers for from-scratch training)."""
+    import jax
+
+    params = jclip.init_params(jax.random.PRNGKey(0), SMALL)
+    vp = np.asarray(params["visual"]["proj"]["kernel"])
+    tp = np.asarray(params["text"]["proj"]["kernel"])
+    k = min(vp.shape[0], tp.shape[0])
+    v = vp[:k].ravel()
+    t = tp[:k].ravel()
+    corr = abs(float(np.corrcoef(v[: t.size], t[: v.size])[0, 1]))
+    assert corr < 0.2, f"projection inits look correlated: |corr|={corr:.3f}"

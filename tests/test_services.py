@@ -69,7 +69,25 @@ def test_report_then_search_roundtrip(env):
     items = store.all_items()
     assert len(items) == 3
     descs = {i.description for i in items}
-    assert "sepatu futsal hijau" in descs
+    # DB descriptions carry the location-joined full_text (ref parity)
+    assert "sepatu futsal hijau, ditemukan di lapangan" in descs
+
+
+def test_db_row_parity_with_reference(env):
+    """ref:finder_service.py:187-199 stores the location-joined full_text as
+    the DB description and defaults found_at to now() — NULL found_at would
+    perturb the ORDER BY found_at DESC listing in /api/items."""
+    paths, store, finder, seeker, tmp = env
+    before = dt.datetime.now()
+    r = finder.report_item(paths[1], "dompet kulit", location="kantin")
+    rows = store.all_items()
+    row = next(it for it in rows if it.id == r.item_id)
+    assert row.description == "dompet kulit, ditemukan di kantin"
+    assert row.found_at is not None
+    found_at = row.found_at
+    if isinstance(found_at, str):
+        found_at = dt.datetime.fromisoformat(found_at)
+    assert found_at >= before.replace(microsecond=0)
 
 
 def test_search_requires_some_query(env):

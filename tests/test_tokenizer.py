@@ -122,6 +122,85 @@ def test_truncation(ours):
     assert out["attention_mask"][0].sum() == 77
 
 
+def test_truncation_matches_hf_exactly(ours, theirs):
+    """>77-token captions: HF truncates the inner token stream to 75 and
+    re-wraps with SOT/EOT; ours must produce the identical 77 ids (advisor
+    flagged a suspected divergence here — this golden pins the behavior)."""
+    for long in ["kaca mata pink tas ransel " * 40, "a " * 500, "x" * 1000]:
+        hf = theirs(long, padding="max_length", max_length=77, truncation=True)
+        enc = ours([long], max_length=77)
+        assert enc["input_ids"][0].tolist() == hf["input_ids"], long[:40]
+        assert enc["attention_mask"][0].tolist() == hf["attention_mask"]
+
+
+# -- adversarial goldens vs HF (VERDICT r1 item 8) ---------------------------
+
+ADVERSARIAL = [
+    # CJK spacing: each han char becomes its own word
+    "黑色背包丢失在图书馆",
+    "iPhone 13 在 食堂 lost",
+    # control characters stripped, \t\n\r treated as whitespace
+    "tab\there\x07bell\x1bescape",
+    "null\x00byte and � replacement",
+    # zero-width (Cf category) characters removed
+    "zero\u200bwidth\u200djoiner\ufeffbom",
+    # accents: NFC form and its NFD decomposition must tokenize identically
+    "caf\u00e9 na\u00efve r\u00e9sum\u00e9",
+    "cafe\u0301 nai\u0308ve re\u0301sume\u0301",
+    # emoji / astral-plane codepoints (multi-byte UTF-8 through the byte map)
+    "lost 🎒 backpack 🧳",
+    # uppercase contractions hit the 's/'ll/'ve branches after lowercasing
+    "DON'T WE'VE IT'S I'LL THEY'D",
+    # mixed digits/symbols/punctuation runs
+    "USD$1,234.56 -- 50% off!!! (call +62-812)",
+    # non-latin scripts without CJK spacing (cyrillic, arabic)
+    "пропал рюкзак في الجامعة",
+]
+
+
+@pytest.mark.parametrize("text", ADVERSARIAL)
+def test_adversarial_vs_hf(ours, theirs, text):
+    assert ours.tokenize(text) == theirs._tokenize(text), text
+    hf = theirs(text, padding="max_length", max_length=77, truncation=True)
+    enc = ours([text], max_length=77)
+    assert enc["input_ids"][0].tolist() == hf["input_ids"], text
+
+
+def test_merge_priority_order(tmp_path):
+    """Lowest-rank merge must win: with merges [(a,b),(ab,c</w>),(b,c</w>)],
+    'abc' → 'abc</w>' (never 'a'+'bc</w>'). Verified against HF on the same
+    files."""
+    alphabet = [bytes_to_unicode()[b] for b in range(256)]
+    vocab = {}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for ch in alphabet:
+        vocab[ch + "</w>"] = len(vocab)
+    merges = [("a", "b"), ("ab", "c</w>"), ("b", "c</w>")]
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab[SOT_TOKEN] = len(vocab)
+    vocab[EOT_TOKEN] = len(vocab)
+    with open(tmp_path / "vocab.json", "w") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(tmp_path / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    mine = ClipTokenizer.from_dir(str(tmp_path))
+    assert mine.tokenize("abc") == ["abc</w>"]
+    assert mine.tokenize("bc") == ["bc</w>"]
+    from transformers import CLIPTokenizer
+
+    hf = CLIPTokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    )
+    for text in ["abc", "bc", "abcabc", "cab"]:
+        assert mine.tokenize(text) == hf._tokenize(text), text
+
+
 def test_roundtrip_fallback():
     tok = ClipTokenizer.from_dir(None)  # byte-level fallback
     for text in ["hello world", "tas pink kanken"]:
