@@ -215,7 +215,9 @@ def _train_step_extra(arch, params, rng):
     lora_cfg = LoraConfig()
     tcfg = TrainingConfig(batch_size=128)
     tx, _ = make_optimizer(tcfg, 100)
-    state = init_train_state(init_lora(jax.random.PRNGKey(1), arch, lora_cfg), tx)
+    state = init_train_state(
+        init_lora(jax.random.PRNGKey(1), arch, lora_cfg), tx, rng_impl="rbg"
+    )
     step = make_train_step(
         params, arch, lora_cfg, tcfg, tx,
         eot_id=arch.vocab_size - 1, compute_dtype=jnp.bfloat16,

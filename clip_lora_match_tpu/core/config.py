@@ -142,6 +142,14 @@ class TrainingConfig:
     global_batch_size: Optional[int] = None  # defaults to batch_size * n_devices
     checkpoint_every_steps: Optional[int] = None
     resume: bool = True  # reference could only restart from scratch (SURVEY §5)
+    # Step-performance knobs (tuned on v5e, see docs/DESIGN.md §7.4):
+    # remat: False | True | "dots" — False is fastest and fits ≤B128/chip;
+    # scan_unroll: full unroll removes lax.scan bwd overhead (~25% step time);
+    # dropout_rng_impl: None → auto ("rbg" hardware RNG on TPU: ~4x cheaper
+    # dropout masks than threefry; threefry elsewhere for determinism).
+    remat: Any = False
+    scan_unroll: Any = True
+    dropout_rng_impl: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -152,9 +152,10 @@ def encode_image_features(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
-    remat: bool = False,
+    remat: bool | str = False,
     lora_dropout: float = 0.0,
     dropout_rng=None,
+    unroll: int | bool = 1,
 ) -> jnp.ndarray:
     """(B, H, W, 3) → (B, projection_dim) UN-normalized image features."""
     p = params["visual"]
@@ -177,6 +178,7 @@ def encode_image_features(
         remat=remat,
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
+        unroll=unroll,
     )
     pooled = layer_norm(p["ln_post"], x[:, 0], arch.layer_norm_eps)
     return linear(p["proj"], pooled, compute_dtype=compute_dtype)
@@ -201,9 +203,10 @@ def encode_text_features(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
-    remat: bool = False,
+    remat: bool | str = False,
     lora_dropout: float = 0.0,
     dropout_rng=None,
+    unroll: int | bool = 1,
 ) -> jnp.ndarray:
     """(B, S) int ids → (B, projection_dim) UN-normalized text features.
 
@@ -229,6 +232,7 @@ def encode_text_features(
         remat=remat,
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
+        unroll=unroll,
     )
     x = layer_norm(p["ln_final"], x, arch.layer_norm_eps)
     if eot_id is None:

@@ -93,6 +93,12 @@ def linear(
     """
     out_dtype = x.dtype
     w = p["kernel"]
+    # fp32 path (parity/CPU): fp32 accumulation AND fp32 elementwise tail.
+    # bf16 path (TPU production): MXU still accumulates fp32 internally, but
+    # the matmul OUTPUT is bf16 (preferred_element_type=compute_dtype) so the
+    # (M, N) intermediates never hit HBM at fp32 width; bias/LoRA adds happen
+    # in bf16. Halves activation bandwidth for a ~1-ulp bf16 rounding cost.
+    acc_dtype = jnp.float32 if compute_dtype is None else compute_dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -118,7 +124,7 @@ def linear(
         if "bias" in p and p["bias"] is not None:
             y = y + p["bias"].astype(y.dtype)
         return y.astype(out_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w, preferred_element_type=acc_dtype)
     if lora is not None:
         a = lora["a"].astype(x.dtype)
         b = lora["b"].astype(x.dtype)
@@ -126,13 +132,16 @@ def linear(
         if lora_dropout > 0.0 and dropout_rng is not None:
             keep = jax.random.bernoulli(dropout_rng, 1.0 - lora_dropout, x.shape)
             xl = jnp.where(keep, x / (1.0 - lora_dropout), 0.0).astype(x.dtype)
-        y = y + lora_scaling * jnp.dot(
-            jnp.dot(xl, a, preferred_element_type=jnp.float32).astype(x.dtype),
-            b,
-            preferred_element_type=jnp.float32,
-        )
+        y = y + (
+            lora_scaling
+            * jnp.dot(
+                jnp.dot(xl, a, preferred_element_type=jnp.float32).astype(x.dtype),
+                b,
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(acc_dtype)
     if "bias" in p and p["bias"] is not None:
-        y = y + p["bias"].astype(jnp.float32)
+        y = y + p["bias"].astype(acc_dtype)
     return y.astype(out_dtype)
 
 
@@ -140,6 +149,23 @@ def _lora_get(lora_block: Optional[Params], name: str) -> Optional[Params]:
     if lora_block is None:
         return None
     return lora_block.get(name)
+
+
+def _lora_delta(
+    x, lora, scaling, compute_dtype, lora_dropout, dropout_rng
+):
+    """scaling · (drop(x) @ a) @ b — the adapter branch of ``linear``."""
+    a = lora["a"].astype(x.dtype)
+    b = lora["b"].astype(x.dtype)
+    xl = x
+    if lora_dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - lora_dropout, x.shape)
+        xl = jnp.where(keep, x / (1.0 - lora_dropout), 0.0).astype(x.dtype)
+    return scaling * jnp.dot(
+        jnp.dot(xl, a, preferred_element_type=jnp.float32).astype(x.dtype),
+        b,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def attention(
@@ -157,6 +183,12 @@ def attention(
 
     p: {q_proj, k_proj, v_proj, out_proj} each {kernel (D,D), bias (D,)}.
     mask: additive bias broadcastable to (B, 1, S, S) (0 or large-negative).
+
+    TPU notes: the three input projections run as ONE fused (D, 3D) matmul
+    (concat at trace time — XLA hoists the concat out of the hot loop), and
+    the head split uses einsum contractions directly on the (B, S, H, hd)
+    layout so no explicit transpose copies are materialized. LoRA deltas stay
+    per-projection (PEFT semantics: independent dropout masks per adapter).
     """
     B, S, D = x.shape
     H = num_heads
@@ -169,33 +201,66 @@ def attention(
             return None
         return jax.random.fold_in(dropout_rng, i)
 
-    q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), dropout_rng=rng_for(0), **kw)
-    k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
-    v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
+    use_fused_pallas = _KERNEL_FLAGS["fused_lora"] and lora is not None
+    if use_fused_pallas:
+        # per-projection path so the fused base+LoRA Pallas kernel dispatches
+        q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), dropout_rng=rng_for(0), **kw)
+        k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
+        v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
+    else:
+        acc_dtype = jnp.float32 if compute_dtype is None else compute_dtype
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        w_qkv = jnp.concatenate(
+            [p["q_proj"]["kernel"], p["k_proj"]["kernel"], p["v_proj"]["kernel"]],
+            axis=1,
+        )
+        if compute_dtype is not None:
+            w_qkv = w_qkv.astype(compute_dtype)
+        b_qkv = jnp.concatenate(
+            [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]]
+        ).astype(acc_dtype)
+        qkv = jnp.dot(xc, w_qkv, preferred_element_type=acc_dtype) + b_qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        for name, idx, t in (("q_proj", 0, "q"), ("k_proj", 1, "k"), ("v_proj", 2, "v")):
+            lp = _lora_get(lora, name)
+            if lp is not None:
+                delta = _lora_delta(
+                    xc, lp, lora_scaling, compute_dtype, lora_dropout, rng_for(idx)
+                ).astype(acc_dtype)
+                if t == "q":
+                    q = q + delta
+                elif t == "k":
+                    k = k + delta
+                else:
+                    v = v + delta
+        q = q.astype(x.dtype)
+        k = k.astype(x.dtype)
+        v = v.astype(x.dtype)
 
-    qh = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    qh = q.reshape(B, S, H, hd)
+    kh = k.reshape(B, S, H, hd)
+    vh = v.reshape(B, S, H, hd)
 
     if _KERNEL_FLAGS["flash_attention"]:
         from clip_lora_match_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(
-            qh, kh, vh, mask=mask, scale=hd ** -0.5,
+            qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
+            vh.transpose(0, 2, 1, 3), mask=mask, scale=hd ** -0.5,
             interpret=_KERNEL_FLAGS["interpret"],
-        )
+        ).transpose(0, 2, 1, 3)
     else:
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh * (hd ** -0.5), kh,
+            "bqhd,bkhd->bhqk", qh * (hd ** -0.5), kh,
             preferred_element_type=jnp.float32,
         )
         if mask is not None:
             scores = scores + mask.astype(scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32
+            "bhqk,bkhd->bqhd", probs, vh, preferred_element_type=x.dtype
         )
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
+    out = out.astype(x.dtype).reshape(B, S, D)
     return linear(
         p["out_proj"], out, _lora_get(lora, "out_proj"), dropout_rng=rng_for(3), **kw
     )
@@ -269,15 +334,21 @@ def transformer(
     lora_scaling: float = 1.0,
     eps: float = 1e-5,
     compute_dtype: Optional[jnp.dtype] = None,
-    remat: bool = False,
+    remat: bool | str = False,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    unroll: int | bool = 1,
 ) -> jnp.ndarray:
     """Run a stacked transformer (leading layer axis on every leaf) via scan.
 
     ``lora_blocks`` mirrors ``blocks``' structure with the same leading layer
     axis, or is None. When ``dropout_rng`` is given with ``lora_dropout>0``
     (training), per-layer keys are derived and scanned alongside the params.
+
+    ``remat``: False = save everything (fastest, most memory); True = full
+    per-block rematerialization; "dots" = selective checkpointing that saves
+    matmul outputs and recomputes only the cheap elementwise ops (the sweet
+    spot at large batch: ~full-save speed at a fraction of the memory).
     """
 
     def body(carry, layer_params):
@@ -296,7 +367,11 @@ def transformer(
         )
         return out, None
 
-    if remat:
+    if remat == "dots":
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    elif remat:
         body = jax.checkpoint(body)
 
     num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
@@ -304,13 +379,19 @@ def transformer(
     if use_dropout:
         layer_rngs = jax.random.split(dropout_rng, num_layers)
     if lora_blocks is None:
-        x, _ = lax.scan(lambda c, blk: body(c, (blk, None, None)), x, blocks)
+        x, _ = lax.scan(
+            lambda c, blk: body(c, (blk, None, None)), x, blocks, unroll=unroll
+        )
     elif use_dropout:
         x, _ = lax.scan(
-            lambda c, xs: body(c, xs), x, (blocks, lora_blocks, layer_rngs)
+            lambda c, xs: body(c, xs), x, (blocks, lora_blocks, layer_rngs),
+            unroll=unroll,
         )
     else:
-        x, _ = lax.scan(lambda c, xs: body(c, (*xs, None)), x, (blocks, lora_blocks))
+        x, _ = lax.scan(
+            lambda c, xs: body(c, (*xs, None)), x, (blocks, lora_blocks),
+            unroll=unroll,
+        )
     return x
 
 

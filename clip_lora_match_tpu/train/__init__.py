@@ -1,3 +1,4 @@
+from clip_lora_match_tpu.train.checkpoint import CheckpointManager
 from clip_lora_match_tpu.train.loss import (
     clip_contrastive_loss,
     clip_contrastive_loss_learned_scale,
@@ -13,6 +14,7 @@ from clip_lora_match_tpu.train.step import (
 from clip_lora_match_tpu.train.trainer import TrainResult, train
 
 __all__ = [
+    "CheckpointManager",
     "clip_contrastive_loss",
     "clip_contrastive_loss_learned_scale",
     "TrainState",

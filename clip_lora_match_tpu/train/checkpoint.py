@@ -22,6 +22,24 @@ from clip_lora_match_tpu.train.step import TrainState
 log = get_logger("ckpt")
 
 
+def _rng_to_np(rng) -> np.ndarray:
+    """Typed key arrays (e.g. the TPU rbg dropout keys) serialize via their
+    raw key data; classic uint32 PRNGKeys pass through unchanged."""
+    rng = jax.device_get(rng)
+    if jax.numpy.issubdtype(getattr(rng, "dtype", None), jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(rng))
+    return np.asarray(rng)
+
+
+def _rng_from_np(data: np.ndarray, template):
+    if jax.numpy.issubdtype(getattr(template, "dtype", None), jax.dtypes.prng_key):
+        return jax.random.wrap_key_data(
+            jax.numpy.asarray(np.asarray(data, np.uint32)),
+            impl=jax.random.key_impl(template),
+        )
+    return np.asarray(data, np.uint32)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -39,7 +57,7 @@ class CheckpointManager:
             "opt_state": jax.device_get(state.opt_state),
             "step": int(state.step),
             "epoch": int(epoch),
-            "rng": np.asarray(jax.device_get(state.rng)),
+            "rng": _rng_to_np(state.rng),
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
@@ -59,7 +77,7 @@ class CheckpointManager:
             "opt_state": jax.device_get(template_state.opt_state),
             "step": 0,
             "epoch": 0,
-            "rng": np.asarray(jax.device_get(template_state.rng)),
+            "rng": _rng_to_np(template_state.rng),
         }
         payload = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
@@ -68,7 +86,7 @@ class CheckpointManager:
             lora=payload["lora"],
             opt_state=payload["opt_state"],
             step=np.asarray(payload["step"], np.int32),
-            rng=np.asarray(payload["rng"], np.uint32),
+            rng=_rng_from_np(payload["rng"], template_state.rng),
         )
         log.info("restored checkpoint step=%d epoch=%d", step, payload["epoch"])
         return state, int(payload["epoch"])

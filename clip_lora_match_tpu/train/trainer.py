@@ -113,9 +113,14 @@ def train(
 
     tx, sched = make_optimizer(train_cfg, total_steps)
     lora = init_lora(jax.random.PRNGKey(train_cfg.seed), arch, lora_cfg)
-    state = init_train_state(lora, tx, seed=train_cfg.seed)
+    rng_impl = train_cfg.dropout_rng_impl or (
+        "rbg" if jax.default_backend() == "tpu" else None
+    )
+    state = init_train_state(lora, tx, seed=train_cfg.seed, rng_impl=rng_impl)
     train_step = make_train_step(params, arch, lora_cfg, train_cfg, tx,
-                                 eot_id=tokenizer.eot_id)
+                                 eot_id=tokenizer.eot_id,
+                                 remat=train_cfg.remat,
+                                 unroll=train_cfg.scan_unroll)
     eval_step = make_eval_step(params, arch, lora_cfg, train_cfg,
                                eot_id=tokenizer.eot_id)
 

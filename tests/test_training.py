@@ -273,3 +273,46 @@ def test_grain_pipeline_matches_contract(csv_dataset):
     assert batches[0]["input_ids"].shape == (8, 16)
     again = list(grain_batch_iterator(ds, 8, shuffle=True, seed=1, epoch=0))
     np.testing.assert_array_equal(batches[0]["input_ids"], again[0]["input_ids"])
+
+
+def test_checkpoint_roundtrip_typed_rng(tmp_path):
+    """rbg dropout keys (typed key arrays) must survive orbax save/restore."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from clip_lora_match_tpu.core.config import (
+        ClipArchConfig,
+        LoraConfig,
+        TrainingConfig,
+    )
+    from clip_lora_match_tpu.lora import init_lora
+    from clip_lora_match_tpu.train import (
+        CheckpointManager,
+        init_train_state,
+        make_optimizer,
+    )
+
+    arch = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+        vision_heads=4, vision_mlp_dim=128, vocab_size=600, max_text_length=16,
+        text_width=32, text_layers=2, text_heads=4, text_mlp_dim=64,
+        projection_dim=16,
+    )
+    tx, _ = make_optimizer(TrainingConfig(), 10)
+    lora = init_lora(jax.random.PRNGKey(0), arch, LoraConfig(r=2))
+    state = init_train_state(lora, tx, seed=3, rng_impl="rbg")
+    state = dataclasses.replace(state, rng=jax.random.fold_in(state.rng, 7))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, epoch=0)
+    template = init_train_state(lora, tx, seed=0, rng_impl="rbg")
+    restored, epoch = mgr.restore(template)
+    mgr.close()
+    assert epoch == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(state.rng)),
+    )
+    # restored key is usable
+    jax.random.bernoulli(restored.rng, 0.5, (4,))
