@@ -174,6 +174,14 @@ def main():
     t_topk = _bench(lambda a, b: topk_fn(a, b, k), qs, index_j, label="topk")
     qps = Q / t_topk
 
+    # --- HBM-scale retrieval (exact two-pass path, VERDICT r1 item 4) ---
+    big_topk = {}
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_BIGTOPK") != "1":
+        try:
+            big_topk = _big_topk_extras()
+        except Exception as e:  # never lose the headline line
+            print(f"[bench] big-topk extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -188,6 +196,7 @@ def main():
                     "image_batch": B,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
+                    **big_topk,
                 },
             }
         ),
@@ -201,6 +210,43 @@ def main():
             _train_step_extra(arch, params, rng)
         except Exception as e:  # never fail the bench for the extra
             print(f"[bench] train-step extra failed: {e}", file=sys.stderr)
+
+
+def _big_topk_extras() -> dict:
+    """Exact retrieval at HBM scale: N=1M (bf16+fp32) and N=4M (bf16) via the
+    fused two-pass path, plus the naive XLA lax.top_k baseline at 1M."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    out = {}
+    qs = jax.random.normal(jax.random.PRNGKey(1), (1024, 512), jnp.float32)
+
+    for n, dt, name in (
+        (1_000_000, jnp.bfloat16, "topk_1m_bf16_qps"),
+        (1_000_000, jnp.float32, "topk_1m_f32_qps"),
+        (4_000_000, jnp.bfloat16, "topk_4m_bf16_qps"),
+    ):
+        index = jax.random.normal(jax.random.PRNGKey(0), (n, 512), jnp.bfloat16).astype(dt)
+        t = _bench(
+            lambda a, b: topk_retrieve_twopass(a, b, 10),
+            qs, index, iters=4, label=f"topk_{n // 1_000_000}m_{np.dtype(dt).name}",
+        )
+        out[name] = round(1024 / t, 1)
+        del index
+
+    # naive baseline: full (Q, N) scores + lax.top_k (the reference's
+    # torch.topk workload shape, ref:src/embedding/search.py:96-99)
+    index = jax.random.normal(jax.random.PRNGKey(0), (1_000_000, 512), jnp.float32)
+    qs256 = qs[:256]
+    t = _bench(
+        lambda a, b: topk_retrieve_reference(a, b, 10),
+        qs256, index, iters=2, label="topk_1m_xla_baseline",
+    )
+    out["topk_1m_xla_baseline_qps"] = round(256 / t, 1)
+    del index
+    return out
 
 
 def _train_step_extra(arch, params, rng):

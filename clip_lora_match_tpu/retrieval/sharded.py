@@ -1,0 +1,81 @@
+"""Multi-chip sharded top-k retrieval.
+
+The BASELINE.json retrieval target is framed at pod scale ("≥100k queries/sec
+on v5e-8"): the index rows are sharded over the mesh's ``data`` axis, each
+chip runs the single-chip exact retrieval over its local shard (the fused
+two-pass path at HBM scale, ops/retrieval_topk.py), and the per-shard (Q, k)
+candidates are all-gathered over ICI and merged with one tiny exact top-k —
+the classic distributed-top-k reduction. Communication is O(Q·k·n_dev),
+independent of N.
+
+The reference has no distributed anything (SURVEY §2.4); this replaces its
+single-process ``sims = q @ E.T; torch.topk`` (ref:src/embedding/search.py:96-99)
+at index sizes a single chip can't hold.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_lora_match_tpu.parallel.mesh import DATA_AXIS
+from clip_lora_match_tpu.ops.retrieval_topk import (
+    topk_retrieve_reference,
+    topk_retrieve_twopass,
+)
+
+
+def shard_index(mesh: Mesh, index) -> jax.Array:
+    """Place (N, D) index rows sharded over the data axis (N must divide
+    evenly; use parallel.mesh.pad_to_multiple first)."""
+    return jax.device_put(index, NamedSharding(mesh, P(DATA_AXIS, None)))
+
+
+def sharded_topk_retrieve(
+    queries,
+    index: jax.Array,
+    k: int = 10,
+    mesh: Mesh | None = None,
+    n_valid: int | None = None,
+    use_kernel: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over an index sharded on ``mesh``'s data axis.
+
+    queries: (Q, D) host or device array (replicated).
+    index:   (N_padded, D) placed via ``shard_index`` (rows % n_dev == 0;
+             each shard must hold ≥ k rows).
+    n_valid: true row count when the index was padded.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        mesh = index.sharding.mesh  # type: ignore[union-attr]
+    if n_valid is None:
+        n_valid = index.shape[0]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+
+    def local(q, idx_shard):
+        if use_kernel:
+            s, i = topk_retrieve_twopass(q, idx_shard, k)
+        else:
+            s, i = topk_retrieve_reference(q, idx_shard, k)
+        shard = jax.lax.axis_index(DATA_AXIS)
+        i = i + shard * idx_shard.shape[0]
+        s = jnp.where(i < n_valid, s, jnp.float32(-3.4e38))
+        s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, DATA_AXIS, axis=1, tiled=True)
+        fs, pos = jax.lax.top_k(s_all, k)
+        return fs, jnp.take_along_axis(i_all, pos, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(jnp.asarray(queries), index)

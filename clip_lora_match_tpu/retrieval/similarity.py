@@ -65,9 +65,9 @@ def top_k_similar(
     if use_pallas is None:
         use_pallas = _use_pallas(n) and assume_normalized
     if use_pallas:
-        from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve
+        from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_auto
 
-        scores, idx = topk_retrieve(jnp.atleast_2d(query), candidates, k)
+        scores, idx = topk_retrieve_auto(jnp.atleast_2d(query), candidates, k)
     else:
         cand = candidates if assume_normalized else l2_normalize(candidates)
         q = l2_normalize(jnp.atleast_2d(query))

@@ -67,3 +67,89 @@ def test_scores_sorted_descending():
                          interpret=True)
     s = np.asarray(s)
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+# -- exact two-pass HBM-scale path (r2) ---------------------------------------
+
+
+@pytest.mark.parametrize("N,tile", [(1000, 32), (999, 32), (4097, 16), (20000, 64)])
+def test_twopass_matches_oracle(N, tile):
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(N)
+    idx = rng.normal(size=(N, 64)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(9, 64)).astype(np.float32)
+    s, i = topk_retrieve_twopass(jnp.asarray(qs), jnp.asarray(idx), 10, tile=tile)
+    so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(idx), 10)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+
+def test_twopass_k_clamp_and_bf16():
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(0)
+    idx = rng.normal(size=(300, 32)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(3, 32)).astype(np.float32)
+    s, i = topk_retrieve_twopass(
+        jnp.asarray(qs), jnp.asarray(idx, jnp.bfloat16), 5, tile=16
+    )
+    so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(idx), 5)
+    # bf16 storage: allow rank flips between near-equal scores
+    overlap = [
+        len(set(np.asarray(i)[r]) & set(np.asarray(io)[r])) for r in range(3)
+    ]
+    assert min(overlap) >= 4, overlap
+
+
+def test_auto_dispatch_thresholds(monkeypatch):
+    from clip_lora_match_tpu.ops import retrieval_topk as rt
+
+    calls = []
+    monkeypatch.setattr(
+        rt, "topk_retrieve_twopass", lambda *a, **k: calls.append("two") or (None, None)
+    )
+    monkeypatch.setattr(
+        rt, "topk_retrieve", lambda *a, **k: calls.append("stream") or (None, None)
+    )
+    small = jnp.zeros((4, 8)), jnp.zeros((100, 8))
+    big = jnp.zeros((4, 8)), jnp.zeros((rt.TWOPASS_MIN_N, 8))
+    rt.topk_retrieve_auto(*small, k=2)
+    rt.topk_retrieve_auto(*big, k=2)
+    assert calls == ["stream", "two"]
+
+
+def test_sharded_topk_matches_oracle():
+    """8-way sharded exact top-k on the virtual CPU mesh (v5e-8 story)."""
+    import jax
+
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_reference
+    from clip_lora_match_tpu.parallel.mesh import make_mesh, pad_to_multiple
+    from clip_lora_match_tpu.retrieval.sharded import (
+        shard_index,
+        sharded_topk_retrieve,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=8)
+    rng = np.random.default_rng(1)
+    N = 10_001  # ragged: pads to 10_008, 1251 rows/shard
+    idx = rng.normal(size=(N, 64)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(7, 64)).astype(np.float32)
+    padded, n_valid = pad_to_multiple(idx, 8)
+    with mesh:
+        placed = shard_index(mesh, padded)
+        s, i = sharded_topk_retrieve(qs, placed, k=10, mesh=mesh, n_valid=n_valid)
+    so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(idx), 10)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
