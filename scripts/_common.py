@@ -26,6 +26,11 @@ def add_encoder_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--lora-epoch", type=int, default=None,
                    help="shorthand: epoch number under the configured output dir")
+    p.add_argument(
+        "--seed", type=int, default=0,
+        help="random-init seed when no --weights given; MUST match the "
+        "training seed (config training.seed) to evaluate its adapters",
+    )
 
 
 def build_encoder(args) -> ClipEncoder:
@@ -39,6 +44,7 @@ def build_encoder(args) -> ClipEncoder:
         config_path=args.clip_config if os.path.exists(args.clip_config) else None,
         weights_path=args.weights,
         lora_path=lora_path,
+        seed=getattr(args, "seed", 0),
     )
 
 

@@ -12,6 +12,11 @@ def main():
     p.add_argument("--csv", default=None)
     p.add_argument("--max-rows", type=int, default=None)
     p.add_argument("--skip-plots", action="store_true")
+    p.add_argument("--lora-dir", default=None,
+                   help="adapter root (default: eval config's lora_dir)")
+    p.add_argument("--epochs", type=int, nargs="+", default=None)
+    p.add_argument("--out", default=None,
+                   help="output JSON path (default: results_dir/model_comparison.json)")
     add_encoder_args(p)
     args = p.parse_args()
 
@@ -22,9 +27,13 @@ def main():
     encoder = build_encoder(args)
     data = load_eval_csv(args.csv or cfg.val_csv, cfg.image_root,
                          max_rows=args.max_rows)
-    comp = ModelComparator(encoder, cfg.lora_dir, epochs=cfg.lora_epochs)
+    comp = ModelComparator(
+        encoder,
+        args.lora_dir or cfg.lora_dir,
+        epochs=args.epochs or cfg.lora_epochs,
+    )
     results = comp.compare(data, ks=cfg.recall_k_values)
-    out = os.path.join(cfg.results_dir, "model_comparison.json")
+    out = args.out or os.path.join(cfg.results_dir, "model_comparison.json")
     comp.save_json(results, out)
     print(f"[compare_models] wrote {out}")
     for name, imp in comp.summary(results).items():
