@@ -131,7 +131,9 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- image embed throughput (the headline) ---
-    B = 256 if on_tpu else 16
+    # B=128 is the measured v5e sweet spot (10.4k img/s vs 8.9k at 256:
+    # larger batches push per-op intermediates past VMEM fusion windows)
+    B = 128 if on_tpu else 16
     pix = jnp.asarray(
         rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(np.float32)
     )
@@ -182,6 +184,14 @@ def main():
         except Exception as e:  # never lose the headline line
             print(f"[bench] big-topk extra failed: {e}", file=sys.stderr)
 
+    # --- end-to-end jpeg→embedding (host decode overlapped w/ device) ---
+    e2e = {}
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_E2E") != "1":
+        try:
+            e2e = _jpeg_to_embedding_extra(params, arch)
+        except Exception as e:
+            print(f"[bench] jpeg-e2e extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -197,6 +207,7 @@ def main():
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     **big_topk,
+                    **e2e,
                 },
             }
         ),
@@ -247,6 +258,53 @@ def _big_topk_extras() -> dict:
     out["topk_1m_xla_baseline_qps"] = round(256 / t, 1)
     del index
     return out
+
+
+def _jpeg_to_embedding_extra(params, arch) -> dict:
+    """End-to-end jpeg→embedding throughput: C++ libjpeg decode+preprocess on
+    a background thread, TPU encodes the previous batch meanwhile (the
+    workload ref:scripts/build_text_index.py ran one un-batched forward per
+    item). On this 1-core host the number is DECODE-bound — it measures the
+    full-pipeline floor, not the chip."""
+    import glob
+    import tempfile
+    import time
+
+    from clip_lora_match_tpu.core.config import ClipConfig
+    from clip_lora_match_tpu.models.encoder import ClipEncoder
+
+    paths = sorted(glob.glob("data/fashion_synth/images/*.jpg"))[:512]
+    if len(paths) < 512:  # fresh clone: render a synthetic set
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import generate_fashion_corpus as gen
+
+        d = tempfile.mkdtemp(prefix="clm_bench_imgs_")
+        combos = [
+            (c, a, g, p)
+            for c in list(gen.COLOURS)[:8]
+            for a in list(gen.ARTICLES)[:8]
+            for g in gen.GENDERS
+            for p in gen.PATTERNS[:3]
+        ][:512]
+        paths = []
+        for i, (c, a, g, p) in enumerate(combos):
+            pth = os.path.join(d, f"{i:04d}.jpg")
+            gen.render(c, a, g, p, "grey" if c != "grey" else "red").save(pth, quality=92)
+            paths.append(pth)
+
+    enc = ClipEncoder(params, arch=arch, config=ClipConfig(), compute_dtype="bfloat16")
+    enc.encode_image_files(paths[:64], batch_size=64)  # warm compile + lib build
+    t0 = time.perf_counter()
+    out = enc.encode_image_files(paths, batch_size=128)
+    dt = time.perf_counter() - t0
+    rate = len(paths) / dt
+    print(
+        f"[bench] jpeg→embedding: {len(paths)} files in {dt:.2f}s -> "
+        f"{rate:,.0f} img/s end-to-end (1-core host decode)",
+        file=sys.stderr,
+    )
+    assert out.shape == (len(paths), arch.projection_dim)
+    return {"jpeg_e2e_images_per_sec": round(rate, 1), "jpeg_e2e_files": len(paths)}
 
 
 def _train_step_extra(arch, params, rng):

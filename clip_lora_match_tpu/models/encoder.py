@@ -74,11 +74,11 @@ class ClipEncoder:
             from clip_lora_match_tpu.nn.layers import set_kernel_flags
 
             on_tpu = jax.default_backend() == "tpu"
-            # flash attention measured slower than XLA's fused attention at
-            # CLIP's 50/77-token sequences (docs/DESIGN.md §7.3) — only the
-            # fused-LoRA matmul earns default dispatch here
+            # flash attention dispatches by measured sequence-length
+            # crossover ("auto", docs/DESIGN.md §7.3) — at CLIP's 50/77
+            # tokens that resolves to XLA's fused attention, which wins there
             set_kernel_flags(
-                fused_lora=on_tpu, flash_attention=False, interpret=not on_tpu
+                fused_lora=on_tpu, flash_attention="auto", interpret=not on_tpu
             )
 
     # -- construction ---------------------------------------------------------
@@ -147,6 +147,38 @@ class ClipEncoder:
                 feats = clip_model.encode_image_features(
                     params,
                     pixel_values,
+                    self.arch,
+                    lora=lora,
+                    lora_scaling=self.lora_scaling,
+                    compute_dtype=self.compute_dtype,
+                )
+                if normalize:
+                    feats = clip_model.l2_normalize(feats)
+                return feats.astype(jnp.float32)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _image_fn_u8(self, normalize: bool = True):
+        """uint8-feed variant: scale + CLIP mean/std normalization happen
+        ON-DEVICE so the host→HBM transfer is 4x smaller than fp32 — the
+        dominant cost of the jpeg→embedding pipeline through the relay."""
+        from clip_lora_match_tpu.nn.layers import get_kernel_flags
+
+        key = ("img_u8", self.lora is not None, normalize, get_kernel_flags())
+        if key not in self._jit_cache:
+            mean = jnp.asarray(self.cfg.preprocess.mean, jnp.float32)
+            std = jnp.asarray(self.cfg.preprocess.std, jnp.float32)
+
+            @jax.jit
+            def fn(params, lora, pixels_u8):
+                x = pixels_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                if self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+                feats = clip_model.encode_image_features(
+                    params,
+                    x,
                     self.arch,
                     lora=lora,
                     lora_scaling=self.lora_scaling,
@@ -232,6 +264,58 @@ class ClipEncoder:
         pix = self.preprocessor.preprocess_images(items)
         out = self.encode_image_batch(pix, normalize=normalize)
         return out[0] if single else out
+
+    def encode_image_files(
+        self,
+        paths: Sequence[str],
+        batch_size: int = 128,
+        normalize: bool = True,
+        num_threads: Optional[int] = None,
+    ) -> np.ndarray:
+        """JPEG paths → (N, 512) embeddings with the host decode OVERLAPPED
+        against device compute: the C++ loader (native/clm_native.cpp,
+        libjpeg + thread pool) preprocesses batch i+1 on a background thread
+        while the TPU encodes batch i. This is the end-to-end form of the
+        flagship index-build workload (ref:scripts/build_text_index.py:57-62
+        encoded one item per forward with no batching, let alone overlap)."""
+        from clip_lora_match_tpu.data.dataset import prefetch
+        from clip_lora_match_tpu.data.native_loader import (
+            preprocess_image_batch_native_u8,
+        )
+
+        n = len(paths)
+        if n == 0:
+            return np.zeros((0, self.arch.projection_dim), np.float32)
+
+        def batches():
+            for i in range(0, n, batch_size):
+                yield preprocess_image_batch_native_u8(
+                    paths[i : i + batch_size],
+                    cfg=self.cfg.preprocess,
+                    num_threads=num_threads,
+                )
+
+        fn = self._image_fn_u8(normalize)
+        out = np.empty((n, self.arch.projection_dim), np.float32)
+        row = 0
+        pending = None  # (device_array, row, b): readback delayed one batch
+        for u8 in prefetch(batches(), depth=2):
+            b = u8.shape[0]
+            bb = _bucket(b)
+            if bb != b:
+                u8 = np.concatenate(
+                    [u8, np.zeros((bb - b,) + u8.shape[1:], u8.dtype)]
+                )
+            emb = fn(self.params, self.lora, jnp.asarray(u8))
+            if pending is not None:
+                p_emb, p_row, p_b = pending
+                out[p_row : p_row + p_b] = np.asarray(p_emb[:p_b])
+            pending = (emb, row, b)
+            row += b
+        if pending is not None:
+            p_emb, p_row, p_b = pending
+            out[p_row : p_row + p_b] = np.asarray(p_emb[:p_b])
+        return out
 
     def encode_text(self, text: str | Sequence[str], normalize: bool = True) -> np.ndarray:
         """Single str → (512,); list → (N, 512) (ref:models/clip_model.py:121-150,

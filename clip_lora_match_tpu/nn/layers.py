@@ -34,12 +34,19 @@ Params = dict[str, Any]
 
 # Kernel-dispatch switches (module-level so jit closures pick them up at trace
 # time). Enabled by ClipEncoder/config on TPU; tests flip them explicitly.
+# flash_attention: False | True | "auto" — "auto" picks per sequence length
+# from the measured v5e crossover table (docs/DESIGN.md §7.3): XLA's fused
+# attention wins at CLIP's S=50/77; the Pallas flash kernel only reaches
+# parity from S≈128 where the blocked online-softmax starts paying for its
+# launch + layout overhead.
 _KERNEL_FLAGS = {"fused_lora": False, "flash_attention": False, "interpret": False}
+
+FLASH_MIN_SEQ = 128  # measured crossover on v5e (see docs/DESIGN.md §7.3)
 
 
 def set_kernel_flags(
     fused_lora: bool | None = None,
-    flash_attention: bool | None = None,
+    flash_attention: bool | str | None = None,
     interpret: bool | None = None,
 ) -> dict:
     """Toggle Pallas kernel dispatch; returns the previous flags."""
@@ -51,6 +58,13 @@ def set_kernel_flags(
     if interpret is not None:
         _KERNEL_FLAGS["interpret"] = interpret
     return prev
+
+
+def _use_flash(seq_len: int) -> bool:
+    flag = _KERNEL_FLAGS["flash_attention"]
+    if flag == "auto":
+        return seq_len >= FLASH_MIN_SEQ
+    return bool(flag)
 
 
 def get_kernel_flags() -> tuple:
@@ -241,7 +255,7 @@ def attention(
     kh = k.reshape(B, S, H, hd)
     vh = v.reshape(B, S, H, hd)
 
-    if _KERNEL_FLAGS["flash_attention"]:
+    if _use_flash(S):
         from clip_lora_match_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(

@@ -79,6 +79,24 @@ def preprocess_image(
     )
 
 
+def load_resized_cropped_u8(
+    path_or_img: str | Image.Image,
+    cfg: PreprocessConfig | None = None,
+) -> np.ndarray:
+    """File path or PIL image → (S, S, 3) uint8 RGB, resized + center-cropped
+    but NOT normalized (the on-device-normalization feed path; PIL fallback
+    for data/native_loader.preprocess_image_batch_native_u8)."""
+    cfg = cfg or PreprocessConfig()
+    img = Image.open(path_or_img) if isinstance(path_or_img, str) else path_or_img
+    img = img.convert("RGB")
+    img = _resize_shortest(img, cfg.image_size)
+    if cfg.center_crop:
+        img = _center_crop(img, cfg.image_size)
+    else:
+        img = img.resize((cfg.image_size, cfg.image_size), Image.Resampling.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def preprocess_image_batch(
     items: Sequence[str | Image.Image],
     cfg: PreprocessConfig | None = None,

@@ -77,3 +77,73 @@ def test_throughput_sane(jpegs):
     native_t = time.perf_counter() - t0
     per_img_ms = native_t / len(batch) * 1e3
     assert per_img_ms < 100, f"{per_img_ms:.1f} ms/img is implausibly slow"
+
+
+def test_native_u8_matches_fp32_pipeline(tmp_path):
+    """u8 feed + on-device normalization must equal the fp32 host pipeline:
+    u8 path returns resize+crop only; (u8/255 - mean)/std == fp32 output."""
+    import numpy as np
+    from PIL import Image
+
+    from clip_lora_match_tpu.core.config import PreprocessConfig
+    from clip_lora_match_tpu.data.native_loader import (
+        preprocess_image_batch_native,
+        preprocess_image_batch_native_u8,
+    )
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (300 + 7 * i, 260, 3), dtype=np.uint8), "RGB"
+        ).save(p, quality=95)
+        paths.append(str(p))
+    cfg = PreprocessConfig()
+    f32 = preprocess_image_batch_native(paths, cfg)
+    u8 = preprocess_image_batch_native_u8(paths, cfg)
+    assert u8.dtype == np.uint8 and u8.shape == (3, 224, 224, 3)
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
+    renorm = (u8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(renorm, f32, atol=1e-5)
+
+
+def test_encode_image_files_matches_per_image_path(tmp_path):
+    """The overlapped jpeg→embedding pipeline must agree with the plain
+    per-image encode path (same preprocessing, same tower)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+
+    from clip_lora_match_tpu.core.config import (
+        ClipArchConfig,
+        ClipConfig,
+        PreprocessConfig,
+    )
+    from clip_lora_match_tpu.models import clip as jclip
+    from clip_lora_match_tpu.models.encoder import ClipEncoder
+
+    arch = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+        vision_heads=4, vision_mlp_dim=128, vocab_size=600, max_text_length=77,
+        text_width=32, text_layers=2, text_heads=4, text_mlp_dim=64,
+        projection_dim=16,
+    )
+    cfg = ClipConfig(arch=arch, preprocess=PreprocessConfig(image_size=32))
+    enc = ClipEncoder(
+        jclip.init_params(jax.random.PRNGKey(0), arch), arch=arch, config=cfg
+    )
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (60, 50, 3), dtype=np.uint8), "RGB"
+        ).save(p, quality=95)
+        paths.append(str(p))
+    fast = enc.encode_image_files(paths, batch_size=2)
+    slow = enc.encode_image(paths)
+    cos = (fast * slow).sum(axis=1)
+    assert (cos > 0.9999).all(), cos

@@ -147,3 +147,46 @@ def test_flash_attention_causal_mask():
         block_q=32, block_kv=32, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_auto_dispatch_gates_by_seq_len(monkeypatch):
+    """'auto' resolves from the committed v5e crossover table: XLA below
+    FLASH_MIN_SEQ (CLIP's S=50/77), Pallas flash at/above it."""
+    from clip_lora_match_tpu.nn import layers
+
+    monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", "auto")
+    assert not layers._use_flash(50)
+    assert not layers._use_flash(77)
+    assert layers._use_flash(layers.FLASH_MIN_SEQ)
+    assert layers._use_flash(512)
+    monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", True)
+    assert layers._use_flash(50)
+    monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", False)
+    assert not layers._use_flash(4096)
+
+
+def test_attention_flash_auto_matches_xla_path():
+    """End-to-end: attention under flash='auto' + interpret at S>=threshold
+    must match the plain XLA path numerically."""
+    import jax
+
+    from clip_lora_match_tpu.nn import layers
+
+    rng = np.random.default_rng(3)
+    D, H, S, B = 64, 4, layers.FLASH_MIN_SEQ, 2
+    p = {
+        name: {
+            "kernel": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.05),
+            "bias": jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.01),
+        }
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    prev = layers.set_kernel_flags(flash_attention=False, interpret=True)
+    try:
+        ref = layers.attention(p, x, H)
+        layers.set_kernel_flags(flash_attention="auto")
+        got = layers.attention(p, x, H)
+    finally:
+        layers.set_kernel_flags(**prev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
