@@ -141,7 +141,7 @@ def main():
     @jax.jit
     def embed_images(params, pix):
         feats = clip_model.encode_image_features(
-            params, pix, arch, compute_dtype=jnp.bfloat16
+            params, pix, arch, compute_dtype=jnp.bfloat16, unroll=True
         )
         return clip_model.l2_normalize(feats)
 

@@ -70,6 +70,9 @@ class ClipEncoder:
         self.preprocessor = ClipPreprocessor(config=self.cfg)
         self.eot_id = self.preprocessor.tokenizer.eot_id
         self._jit_cache: dict = {}
+        # full scan unroll is a measured ~5% serving win on TPU (removes the
+        # per-layer scan machinery); keep scan form on CPU for compile speed
+        self._unroll = True if jax.default_backend() == "tpu" else 1
         if self.cfg.use_pallas_kernels:
             from clip_lora_match_tpu.nn.layers import set_kernel_flags
 
@@ -151,6 +154,7 @@ class ClipEncoder:
                     lora=lora,
                     lora_scaling=self.lora_scaling,
                     compute_dtype=self.compute_dtype,
+                    unroll=self._unroll,
                 )
                 if normalize:
                     feats = clip_model.l2_normalize(feats)
@@ -183,6 +187,7 @@ class ClipEncoder:
                     lora=lora,
                     lora_scaling=self.lora_scaling,
                     compute_dtype=self.compute_dtype,
+                    unroll=self._unroll,
                 )
                 if normalize:
                     feats = clip_model.l2_normalize(feats)
@@ -208,6 +213,7 @@ class ClipEncoder:
                     lora=lora,
                     lora_scaling=self.lora_scaling,
                     compute_dtype=self.compute_dtype,
+                    unroll=self._unroll,
                 )
                 if normalize:
                     feats = clip_model.l2_normalize(feats)
