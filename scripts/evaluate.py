@@ -16,6 +16,8 @@ def main():
     p.add_argument("--epochs", type=int, nargs="*", default=None)
     p.add_argument("--max-rows", type=int, default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--lora-dir", default=None,
+                   help="adapter root (default: eval config / training output)")
     add_encoder_args(p)
     args = p.parse_args()
 
@@ -34,7 +36,9 @@ def main():
     results = {}
     variants = [("base", None, 1.0)]
     for k in epochs:
-        path = os.path.join(cfg.lora_dir or tcfg.output_dir, f"epoch_{k}")
+        path = os.path.join(
+            args.lora_dir or cfg.lora_dir or tcfg.output_dir, f"epoch_{k}"
+        )
         if os.path.exists(path):
             lora, scaling = load_lora(path)
             variants.append((f"epoch_{k}", lora, scaling))
