@@ -149,7 +149,7 @@ def main():
     images_per_sec = B / t_img
 
     # --- text embed throughput ---
-    T = 512 if on_tpu else 32
+    T = 256 if on_tpu else 32  # measured sweet spot (10.8k/s vs 8.8k at 512)
     ids = rng.integers(0, arch.vocab_size - 2, (T, arch.max_text_length)).astype(
         np.int32
     )
@@ -293,7 +293,9 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
             paths.append(pth)
 
     enc = ClipEncoder(params, arch=arch, config=ClipConfig(), compute_dtype="bfloat16")
-    enc.encode_image_files(paths[:64], batch_size=64)  # warm compile + lib build
+    # warm the SAME bucket the timed run uses (128) so compile stays out of
+    # the measurement
+    enc.encode_image_files(paths[:128], batch_size=128)
     t0 = time.perf_counter()
     out = enc.encode_image_files(paths, batch_size=128)
     dt = time.perf_counter() - t0

@@ -165,9 +165,7 @@ def _lora_get(lora_block: Optional[Params], name: str) -> Optional[Params]:
     return lora_block.get(name)
 
 
-def _lora_delta(
-    x, lora, scaling, compute_dtype, lora_dropout, dropout_rng
-):
+def _lora_delta(x, lora, scaling, lora_dropout, dropout_rng):
     """scaling · (drop(x) @ a) @ b — the adapter branch of ``linear``."""
     a = lora["a"].astype(x.dtype)
     b = lora["b"].astype(x.dtype)
@@ -230,16 +228,21 @@ def attention(
         )
         if compute_dtype is not None:
             w_qkv = w_qkv.astype(compute_dtype)
-        b_qkv = jnp.concatenate(
-            [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]]
-        ).astype(acc_dtype)
-        qkv = jnp.dot(xc, w_qkv, preferred_element_type=acc_dtype) + b_qkv
+        qkv = jnp.dot(xc, w_qkv, preferred_element_type=acc_dtype)
+        # biases are optional per projection (same contract as linear())
+        biases = [p[n].get("bias") for n in ("q_proj", "k_proj", "v_proj")]
+        if any(b is not None for b in biases):
+            parts = [
+                b if b is not None else jnp.zeros((D,), jnp.float32)
+                for b in biases
+            ]
+            qkv = qkv + jnp.concatenate(parts).astype(acc_dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         for name, idx, t in (("q_proj", 0, "q"), ("k_proj", 1, "k"), ("v_proj", 2, "v")):
             lp = _lora_get(lora, name)
             if lp is not None:
                 delta = _lora_delta(
-                    xc, lp, lora_scaling, compute_dtype, lora_dropout, rng_for(idx)
+                    xc, lp, lora_scaling, lora_dropout, rng_for(idx)
                 ).astype(acc_dtype)
                 if t == "q":
                     q = q + delta

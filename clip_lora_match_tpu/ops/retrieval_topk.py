@@ -25,6 +25,7 @@ compiled on TPU).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -193,24 +194,53 @@ def topk_retrieve_reference(
 #           top-k over the (Q, k·T) candidates.
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "pad_value"))
 def topk_retrieve_twopass(
     queries: jnp.ndarray,
     index: jnp.ndarray,
     k: int = 10,
     tile: int = 16,
     pad_value: float = 0.0,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact fused top-k for HBM-scale indexes (same contract as
     ``topk_retrieve``; validated against the oracle in tests).
 
     queries: (Q, D) raw — normalized here. index: (N, D) fp32/bf16, assumed
-    L2-normalized. Returns (scores (Q, k) fp32, indices (Q, k) int32), both
-    sorted descending.
+    L2-normalized. ``n_valid``: optional DYNAMIC row count ≤ N — rows at or
+    past it are masked to -inf before any selection (used by the sharded
+    path, whose zero-padded rows must never displace real candidates).
+    Returns (scores (Q, k) fp32, indices (Q, k) int32), sorted descending.
     """
-    Q, D = queries.shape
     N = index.shape[0]
     k = min(k, N)
+    if -(-N // tile) < k:
+        # fewer tiles than k: pass-2 selection is ill-posed; at this size
+        # (N < k·tile) the plain oracle is already fast and exact
+        s, i = topk_retrieve_reference(queries, index, k)
+        if n_valid is not None:
+            s = jnp.where(i < n_valid, s, NEG_INF)
+            order = jnp.argsort(-s, axis=1)
+            s = jnp.take_along_axis(s, order, axis=1)
+            i = jnp.take_along_axis(i, order, axis=1)
+        return s, i
+    return _topk_twopass_impl(
+        queries, index,
+        jnp.asarray(N if n_valid is None else n_valid, jnp.int32),
+        k=k, tile=tile, pad_value=pad_value,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "pad_value"))
+def _topk_twopass_impl(
+    queries: jnp.ndarray,
+    index: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    k: int,
+    tile: int,
+    pad_value: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    Q, D = queries.shape
+    N = index.shape[0]
 
     q = queries.astype(jnp.float32)
     q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True) + 1e-12)
@@ -224,16 +254,16 @@ def topk_retrieve_twopass(
 
     # pass 1: 3D dot producing (Q, nt, tile) DIRECTLY (no reshape between the
     # dot and the reduce — a reshape would break XLA's output fusion and
-    # materialize the full Q×N score tensor in HBM).
+    # materialize the full Q×N score tensor in HBM). Rows ≥ n_valid (dynamic)
+    # and shape-padding rows ≥ N (static) are masked BEFORE any selection.
     scores = jax.lax.dot_general(
         qc, idx3, (((1,), (2,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Q, nt, tile), consumed by the fused max below
-    if n_pad != N:
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0) * tile
-            + jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 1)
-        )
-        scores = jnp.where(col[None] < N, scores, NEG_INF)
+    )  # (Q, nt, tile), consumed by the fused mask+max below
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0) * tile
+        + jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 1)
+    )
+    scores = jnp.where(col[None] < n_valid, scores, NEG_INF)
     tile_max = scores.max(axis=2)
 
     # pass 2: k highest-max tiles per query (tiny: (Q, N/tile))
@@ -247,8 +277,7 @@ def topk_retrieve_twopass(
     ).reshape(Q, k * tile)
     flat_ids = (tile_ids[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
                 ).reshape(Q, k * tile)
-    if n_pad != N:
-        cand = jnp.where(flat_ids < N, cand, NEG_INF)
+    cand = jnp.where(flat_ids < n_valid, cand, NEG_INF)
     s, pos = jax.lax.top_k(cand, k)
     return s, jnp.take_along_axis(flat_ids, pos, axis=1)
 

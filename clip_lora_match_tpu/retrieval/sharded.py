@@ -58,14 +58,26 @@ def sharded_topk_retrieve(
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
 
+    NEG = jnp.float32(-3.4e38)
+
     def local(q, idx_shard):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        shard_n = idx_shard.shape[0]
+        # Rows at/past n_valid are zero padding from pad_to_multiple. They
+        # must be masked BEFORE the local top-k — a zero row scores 0, which
+        # outranks genuinely negative candidates and would silently evict
+        # them from the local k (caught by the adversarial all-negative
+        # test below).
+        local_valid = jnp.clip(n_valid - shard * shard_n, 0, shard_n)
         if use_kernel:
-            s, i = topk_retrieve_twopass(q, idx_shard, k)
+            s, i = topk_retrieve_twopass(q, idx_shard, k, n_valid=local_valid)
         else:
             s, i = topk_retrieve_reference(q, idx_shard, k)
-        shard = jax.lax.axis_index(DATA_AXIS)
-        i = i + shard * idx_shard.shape[0]
-        s = jnp.where(i < n_valid, s, jnp.float32(-3.4e38))
+            s = jnp.where(i < local_valid, s, NEG)
+            order = jnp.argsort(-s, axis=1)
+            s = jnp.take_along_axis(s, order, axis=1)
+            i = jnp.take_along_axis(i, order, axis=1)
+        i = i + shard * shard_n
         s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, DATA_AXIS, axis=1, tiled=True)
         fs, pos = jax.lax.top_k(s_all, k)

@@ -33,11 +33,23 @@ def _rng_to_np(rng) -> np.ndarray:
 
 def _rng_from_np(data: np.ndarray, template):
     if jax.numpy.issubdtype(getattr(template, "dtype", None), jax.dtypes.prng_key):
+        data = np.asarray(data, np.uint32)
+        want = int(np.prod(jax.random.key_data(template).shape))
+        if data.size != want:
+            # legacy checkpoint written under a different PRNG impl (e.g. a
+            # (2,) threefry key resumed into an rbg state): derive the new
+            # key deterministically from the old key data — dropout-stream
+            # continuity across an impl upgrade is not meaningful, but
+            # determinism of the resumed run is
+            data = np.resize(data, want)
         return jax.random.wrap_key_data(
-            jax.numpy.asarray(np.asarray(data, np.uint32)),
+            jax.numpy.asarray(data),
             impl=jax.random.key_impl(template),
         )
-    return np.asarray(data, np.uint32)
+    data = np.asarray(data, np.uint32)
+    if data.size != 2:
+        data = np.resize(data, 2)  # typed-key checkpoint resumed as threefry
+    return data
 
 
 class CheckpointManager:
@@ -79,9 +91,23 @@ class CheckpointManager:
             "epoch": 0,
             "rng": _rng_to_np(template_state.rng),
         }
-        payload = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            payload = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            # checkpoint written under a different PRNG impl: the stored rng
+            # buffer is (2,) threefry vs (4,) rbg (or vice versa) — retry
+            # with the other shape; _rng_from_np converts deterministically
+            alt = 2 if template["rng"].size == 4 else 4
+            template["rng"] = np.zeros(alt, np.uint32)
+            payload = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+            log.warning(
+                "checkpoint rng impl differs from current config; key "
+                "re-derived deterministically from stored data"
+            )
         state = TrainState(
             lora=payload["lora"],
             opt_state=payload["opt_state"],

@@ -1,5 +1,6 @@
 """Experiment: streaming top-k at HBM scale (VERDICT r1 item 4)."""
 
+import os
 import sys
 import time
 
@@ -7,7 +8,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clip_lora_match_tpu.ops.retrieval_topk import (  # noqa: E402
     topk_retrieve,

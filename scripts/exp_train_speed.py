@@ -4,6 +4,7 @@ Not part of the library surface — a measurement harness for tuning
 train/step.py (VERDICT r1 item 3). Prints ms/step + ex/s for each variant.
 """
 
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clip_lora_match_tpu.core.config import (  # noqa: E402
     ClipArchConfig,

@@ -190,3 +190,19 @@ def test_attention_flash_auto_matches_xla_path():
     finally:
         layers.set_kernel_flags(**prev)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_attention_without_biases():
+    """linear() treats bias as optional; the fused-QKV path must too."""
+    from clip_lora_match_tpu.nn import layers
+
+    rng = np.random.default_rng(4)
+    D, H = 32, 4
+    p = {
+        name: {"kernel": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.1)}
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+    x = jnp.asarray(rng.normal(size=(2, 8, D)).astype(np.float32))
+    out = layers.attention(p, x, H)
+    assert out.shape == (2, 8, D)
+    assert np.isfinite(np.asarray(out)).all()

@@ -153,3 +153,74 @@ def test_sharded_topk_matches_oracle():
     so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(idx), 10)
     np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+
+def test_twopass_small_n_fallback():
+    """ceil(N/tile) < k must not crash (falls back to the oracle path)."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(2)
+    idx = rng.normal(size=(100, 16)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(3, 16)).astype(np.float32)
+    s, i = topk_retrieve_twopass(jnp.asarray(qs), jnp.asarray(idx), 10, tile=16)
+    so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(idx), 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+
+def test_twopass_dynamic_n_valid_mask():
+    """Rows at/past n_valid must never appear, even when they'd score best."""
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_twopass
+
+    rng = np.random.default_rng(3)
+    D = 32
+    q = rng.normal(size=(4, D)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # valid rows anti-aligned with the queries (negative scores); "pad" rows
+    # EQUAL to the queries (score 1.0 — maximal) beyond n_valid
+    valid = (-qn[rng.integers(0, 4, 640)] + rng.normal(0, .05, (640, D))).astype(np.float32)
+    valid /= np.linalg.norm(valid, axis=1, keepdims=True)
+    evil = qn[rng.integers(0, 4, 64)].astype(np.float32)
+    idx = np.concatenate([valid, evil])
+    s, i = topk_retrieve_twopass(
+        jnp.asarray(q), jnp.asarray(idx), 10, tile=16, n_valid=640
+    )
+    assert (np.asarray(i) < 640).all(), np.asarray(i)
+    assert (np.asarray(s) <= 0.5).all()
+
+
+def test_sharded_topk_all_negative_scores():
+    """Adversarial case from the r2 self-review: every true similarity is
+    negative and the top-k rows sit in the zero-padded last shard — zero pad
+    rows (score 0) must NOT displace real candidates from the local top-k."""
+    import jax
+
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_reference
+    from clip_lora_match_tpu.parallel.mesh import make_mesh, pad_to_multiple
+    from clip_lora_match_tpu.retrieval.sharded import (
+        shard_index,
+        sharded_topk_retrieve,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=8)
+    rng = np.random.default_rng(4)
+    D = 32
+    q = rng.normal(size=(3, D)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # all rows anti-correlated with queries → all scores < 0
+    idx = (-qn[rng.integers(0, 3, 1001)] + rng.normal(0, 0.3, (1001, D))).astype(
+        np.float32
+    )
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    padded, n_valid = pad_to_multiple(idx, 8)  # zero rows land in last shard
+    with mesh:
+        placed = shard_index(mesh, padded)
+        s, i = sharded_topk_retrieve(q, placed, k=10, mesh=mesh, n_valid=n_valid)
+    so, io = topk_retrieve_reference(jnp.asarray(q), jnp.asarray(idx), 10)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
