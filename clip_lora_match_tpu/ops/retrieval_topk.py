@@ -200,42 +200,76 @@ def topk_retrieve_twopass(
     k: int = 10,
     tile: int = 16,
     pad_value: float = 0.0,
-    n_valid: Optional[jnp.ndarray] = None,
+    n_valid=None,
+    max_pad: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact fused top-k for HBM-scale indexes (same contract as
     ``topk_retrieve``; validated against the oracle in tests).
 
     queries: (Q, D) raw — normalized here. index: (N, D) fp32/bf16, assumed
-    L2-normalized. ``n_valid``: optional DYNAMIC row count ≤ N — rows at or
-    past it are masked to -inf before any selection (used by the sharded
-    path, whose zero-padded rows must never displace real candidates).
+    L2-normalized. ``n_valid``: optional row count ≤ N (python int or traced
+    scalar) — rows at/past it are PADDING and never appear in results.
+    ``max_pad``: static upper bound on N - n_valid; required when n_valid is
+    traced (the sharded path passes it), inferred otherwise.
+
+    Padding correctness without breaking fusion: pass 1's tile-max reduce is
+    fused into the dot and must stay mask-free (a dynamic mask between them
+    materializes the Q×N scores — measured 11.9→18.9 ms at N=1M). Zero pad
+    rows score 0, so only tiles overlapping the pad region (≤
+    ceil(max_pad/tile)+1 of them, pads are contiguous at the end) can be
+    OVER-ranked in pass 2. Selecting that many extra tiles guarantees the
+    true top-k tiles are still included; pass 3 masks pad candidates on the
+    tiny (Q, k_sel·tile) tensor where fusion doesn't matter.
+
     Returns (scores (Q, k) fp32, indices (Q, k) int32), sorted descending.
     """
     N = index.shape[0]
     k = min(k, N)
-    if -(-N // tile) < k:
-        # fewer tiles than k: pass-2 selection is ill-posed; at this size
-        # (N < k·tile) the plain oracle is already fast and exact
+    nt = -(-N // tile)
+
+    if n_valid is None:
+        pad_bound = 0
+        nv = None
+    elif isinstance(n_valid, (int, np.integer)):
+        pad_bound = N - int(n_valid)
+        nv = int(n_valid)
+    else:
+        if max_pad is None:
+            raise ValueError("traced n_valid requires a static max_pad bound")
+        pad_bound = int(max_pad)
+        nv = n_valid
+    # total contiguous zero region at the end = shape padding (to a tile
+    # multiple) + caller-declared invalid rows; tiles overlapping it can be
+    # over-ranked in pass 2 and need selection slack
+    shape_pad = nt * tile - N
+    total_pad = shape_pad + pad_bound
+    extra = (-(-total_pad // tile) + 1) if total_pad > 0 else 0
+    k_sel = k + extra
+
+    if nt < k_sel:
+        # fewer tiles than the selection needs: the plain oracle is already
+        # fast and exact at this size (N < k_sel·tile)
         s, i = topk_retrieve_reference(queries, index, k)
-        if n_valid is not None:
-            s = jnp.where(i < n_valid, s, NEG_INF)
+        if nv is not None:
+            s = jnp.where(i < nv, s, NEG_INF)
             order = jnp.argsort(-s, axis=1)
             s = jnp.take_along_axis(s, order, axis=1)
             i = jnp.take_along_axis(i, order, axis=1)
         return s, i
     return _topk_twopass_impl(
         queries, index,
-        jnp.asarray(N if n_valid is None else n_valid, jnp.int32),
-        k=k, tile=tile, pad_value=pad_value,
+        jnp.asarray(N if nv is None else nv, jnp.int32),
+        k=k, k_sel=k_sel, tile=tile, pad_value=pad_value,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "pad_value"))
+@functools.partial(jax.jit, static_argnames=("k", "k_sel", "tile", "pad_value"))
 def _topk_twopass_impl(
     queries: jnp.ndarray,
     index: jnp.ndarray,
     n_valid: jnp.ndarray,
     k: int,
+    k_sel: int,
     tile: int,
     pad_value: float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -252,31 +286,26 @@ def _topk_twopass_impl(
         index = jnp.pad(index, ((0, n_pad - N), (0, 0)), constant_values=pad_value)
     idx3 = index.reshape(nt, tile, D)
 
-    # pass 1: 3D dot producing (Q, nt, tile) DIRECTLY (no reshape between the
-    # dot and the reduce — a reshape would break XLA's output fusion and
-    # materialize the full Q×N score tensor in HBM). Rows ≥ n_valid (dynamic)
-    # and shape-padding rows ≥ N (static) are masked BEFORE any selection.
+    # pass 1: 3D dot producing (Q, nt, tile) DIRECTLY — no reshape and NO
+    # mask between the dot and the reduce (either would break XLA's output
+    # fusion and materialize the full Q×N score tensor in HBM)
     scores = jax.lax.dot_general(
         qc, idx3, (((1,), (2,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Q, nt, tile), consumed by the fused mask+max below
-    col = (
-        jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 0) * tile
-        + jax.lax.broadcasted_iota(jnp.int32, (nt, tile), 1)
-    )
-    scores = jnp.where(col[None] < n_valid, scores, NEG_INF)
+    )  # (Q, nt, tile), consumed by the fused max below
     tile_max = scores.max(axis=2)
 
-    # pass 2: k highest-max tiles per query (tiny: (Q, N/tile))
-    _, tile_ids = jax.lax.approx_max_k(tile_max, k, recall_target=1.0)
+    # pass 2: k_sel highest-max tiles per query (k plus enough slack that
+    # pad-inflated tiles cannot evict a true top-k tile; see caller docstring)
+    _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
     tile_ids = tile_ids.astype(jnp.int32)
 
-    # pass 3: gather selected tiles, rescore, exact top-k of k·tile candidates
-    rows = index.reshape(nt, tile, D)[tile_ids]  # (Q, k, tile, D)
+    # pass 3: gather selected tiles, rescore, mask pad rows, exact top-k
+    rows = idx3[tile_ids]  # (Q, k_sel, tile, D)
     cand = jnp.einsum(
         "qd,qktd->qkt", qc, rows, preferred_element_type=jnp.float32
-    ).reshape(Q, k * tile)
+    ).reshape(Q, k_sel * tile)
     flat_ids = (tile_ids[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
-                ).reshape(Q, k * tile)
+                ).reshape(Q, k_sel * tile)
     cand = jnp.where(flat_ids < n_valid, cand, NEG_INF)
     s, pos = jax.lax.top_k(cand, k)
     return s, jnp.take_along_axis(flat_ids, pos, axis=1)

@@ -59,18 +59,24 @@ def sharded_topk_retrieve(
         use_kernel = jax.default_backend() == "tpu"
 
     NEG = jnp.float32(-3.4e38)
+    # all pad rows sit at the END of the last shard; the static bound lets
+    # the two-pass kernel size its tile-selection slack without masking the
+    # fused pass-1 scores
+    max_pad = index.shape[0] - int(n_valid)
 
     def local(q, idx_shard):
         shard = jax.lax.axis_index(DATA_AXIS)
         shard_n = idx_shard.shape[0]
         # Rows at/past n_valid are zero padding from pad_to_multiple. They
-        # must be masked BEFORE the local top-k — a zero row scores 0, which
+        # must never enter the local top-k — a zero row scores 0, which
         # outranks genuinely negative candidates and would silently evict
         # them from the local k (caught by the adversarial all-negative
         # test below).
         local_valid = jnp.clip(n_valid - shard * shard_n, 0, shard_n)
         if use_kernel:
-            s, i = topk_retrieve_twopass(q, idx_shard, k, n_valid=local_valid)
+            s, i = topk_retrieve_twopass(
+                q, idx_shard, k, n_valid=local_valid, max_pad=max_pad
+            )
         else:
             s, i = topk_retrieve_reference(q, idx_shard, k)
             s = jnp.where(i < local_valid, s, NEG)
