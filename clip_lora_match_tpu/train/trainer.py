@@ -165,27 +165,31 @@ def train(
                 seed=train_cfg.seed, epoch=epoch,
             )
         )
-        running, running_n = 0.0, 0
+        # Losses stay DEVICE arrays inside the hot loop — float() forces a
+        # device→host sync per step, which through the relay costs a full
+        # round trip each step; materialize only at the logging cadence.
+        pending: list = []
         for i, batch in enumerate(it):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             state, m = train_step(state, place_batch(batch))
-            loss = float(m["loss"])
-            result.train_losses.append(loss)
-            running += loss
-            running_n += 1
+            pending.append(m)
             result.steps += 1
-            if running_n and result.steps % train_cfg.logging_steps == 0:
+            if result.steps % train_cfg.logging_steps == 0:
+                losses = [float(p["loss"]) for p in pending]
+                result.train_losses.extend(losses)
                 # running-loss print cadence (ref:train_lora.py:204-211)
                 log.info(
                     "epoch %d step %d/%d loss %.4f (run avg %.4f) %.1f s",
-                    epoch + 1, i + 1, steps_per_epoch, loss,
-                    running / running_n, time.time() - t0,
+                    epoch + 1, i + 1, steps_per_epoch, losses[-1],
+                    float(np.mean(losses)), time.time() - t0,
                 )
                 metrics.write(
                     "train_step", epoch=epoch + 1, step=result.steps,
-                    loss=loss, grad_norm=float(m["grad_norm"]),
+                    loss=losses[-1], grad_norm=float(pending[-1]["grad_norm"]),
                 )
+                pending = []
+        result.train_losses.extend(float(p["loss"]) for p in pending)
 
         # per-epoch validation loss (ref:train_lora.py:214-241)
         if val_ds is not None and len(val_ds) >= train_cfg.batch_size:
