@@ -130,6 +130,14 @@ def main():
     params = clip_model.init_params(jax.random.PRNGKey(0), arch)
     rng = np.random.default_rng(0)
 
+    # production serving dispatch (same flags ClipEncoder sets)
+    from clip_lora_match_tpu.nn.layers import set_kernel_flags
+
+    set_kernel_flags(
+        fused_lora=False, flash_attention="auto",
+        small_attention=on_tpu, interpret=not on_tpu,
+    )
+
     # --- image embed throughput (the headline) ---
     # B=128 is the measured v5e sweet spot (10.4k img/s vs 8.9k at 256:
     # larger batches push per-op intermediates past VMEM fusion windows)
@@ -173,7 +181,11 @@ def main():
     qs = jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32))
     index_j = jnp.asarray(index)
     topk_fn = topk_retrieve if on_tpu else topk_retrieve_reference
-    t_topk = _bench(lambda a, b: topk_fn(a, b, k), qs, index_j, label="topk")
+    # sub-ms per call: use long bursts so relay jitter doesn't dominate the
+    # paired-burst subtraction
+    t_topk = _bench(
+        lambda a, b: topk_fn(a, b, k), qs, index_j, iters=60, label="topk"
+    )
     qps = Q / t_topk
 
     # --- HBM-scale retrieval (exact two-pass path, VERDICT r1 item 4) ---
@@ -310,6 +322,12 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
 
 
 def _train_step_extra(arch, params, rng):
+    from clip_lora_match_tpu.nn.layers import set_kernel_flags
+
+    # training path: plain XLA towers (serving kernels' custom_vjp backwards
+    # recompute via the jnp reference — slower under grad)
+    set_kernel_flags(fused_lora=False, flash_attention=False,
+                     small_attention=False)
     from clip_lora_match_tpu.core.config import LoraConfig, TrainingConfig
     from clip_lora_match_tpu.lora import init_lora
     from clip_lora_match_tpu.train import (

@@ -95,7 +95,7 @@ class ClipConfig:
     tokenizer_dir: Optional[str] = None
     # Dispatch fused-LoRA / flash-attention Pallas kernels inside the towers
     # (TPU only; the jnp path remains the oracle and CPU fallback)
-    use_pallas_kernels: bool = False
+    use_pallas_kernels: bool = True
 
 
 @dataclass(frozen=True)
@@ -254,7 +254,7 @@ def load_clip_config(path: Optional[str] = None) -> ClipConfig:
         batch_size=inf.get("batch_size", 16),
         num_workers=inf.get("num_workers", 4),
         tokenizer_dir=model.get("tokenizer_dir"),
-        use_pallas_kernels=model.get("use_pallas_kernels", False),
+        use_pallas_kernels=model.get("use_pallas_kernels", True),
     )
 
 

@@ -77,11 +77,16 @@ class ClipEncoder:
             from clip_lora_match_tpu.nn.layers import set_kernel_flags
 
             on_tpu = jax.default_backend() == "tpu"
-            # flash attention dispatches by measured sequence-length
-            # crossover ("auto", docs/DESIGN.md §7.3) — at CLIP's 50/77
-            # tokens that resolves to XLA's fused attention, which wins there
+            # serving dispatch (measured, docs/DESIGN.md §7.3): the
+            # small-sequence attention kernel wins ~12% in-tower at CLIP's
+            # S=50/77; flash handles longer sequences via the "auto"
+            # crossover; fused-LoRA fuses the adapter delta into the base
+            # matmul. All TPU-only — CPU keeps the jnp oracle paths.
             set_kernel_flags(
-                fused_lora=on_tpu, flash_attention="auto", interpret=not on_tpu
+                fused_lora=on_tpu,
+                flash_attention="auto",
+                small_attention=on_tpu,
+                interpret=not on_tpu,
             )
 
     # -- construction ---------------------------------------------------------

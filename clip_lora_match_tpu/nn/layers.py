@@ -39,7 +39,12 @@ Params = dict[str, Any]
 # attention wins at CLIP's S=50/77; the Pallas flash kernel only reaches
 # parity from S≈128 where the blocked online-softmax starts paying for its
 # launch + layout overhead.
-_KERNEL_FLAGS = {"fused_lora": False, "flash_attention": False, "interpret": False}
+_KERNEL_FLAGS = {
+    "fused_lora": False,
+    "flash_attention": False,
+    "small_attention": False,
+    "interpret": False,
+}
 
 FLASH_MIN_SEQ = 128  # measured crossover on v5e (see docs/DESIGN.md §7.3)
 
@@ -47,6 +52,7 @@ FLASH_MIN_SEQ = 128  # measured crossover on v5e (see docs/DESIGN.md §7.3)
 def set_kernel_flags(
     fused_lora: bool | None = None,
     flash_attention: bool | str | None = None,
+    small_attention: bool | None = None,
     interpret: bool | None = None,
 ) -> dict:
     """Toggle Pallas kernel dispatch; returns the previous flags."""
@@ -55,6 +61,8 @@ def set_kernel_flags(
         _KERNEL_FLAGS["fused_lora"] = fused_lora
     if flash_attention is not None:
         _KERNEL_FLAGS["flash_attention"] = flash_attention
+    if small_attention is not None:
+        _KERNEL_FLAGS["small_attention"] = small_attention
     if interpret is not None:
         _KERNEL_FLAGS["interpret"] = interpret
     return prev
@@ -258,7 +266,14 @@ def attention(
     kh = k.reshape(B, S, H, hd)
     vh = v.reshape(B, S, H, hd)
 
-    if _use_flash(S):
+    if _KERNEL_FLAGS["small_attention"] and S <= 128:
+        from clip_lora_match_tpu.ops.attention_small import attention_small
+
+        out = attention_small(
+            qh, kh, vh, mask=mask, scale=hd ** -0.5,
+            interpret=_KERNEL_FLAGS["interpret"],
+        )
+    elif _use_flash(S):
         from clip_lora_match_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(

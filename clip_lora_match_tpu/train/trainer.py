@@ -113,6 +113,16 @@ def train(
 
     tx, sched = make_optimizer(train_cfg, total_steps)
     lora = init_lora(jax.random.PRNGKey(train_cfg.seed), arch, lora_cfg)
+    # Training uses the plain XLA tower paths: the serving kernels
+    # (fused-LoRA, small-attention) are inference wins — their custom_vjp
+    # backwards recompute via the jnp reference, which would make train
+    # steps slower, not faster. An encoder constructed earlier in this
+    # process may have enabled them; the step traces below must not.
+    from clip_lora_match_tpu.nn.layers import set_kernel_flags
+
+    set_kernel_flags(fused_lora=False, flash_attention=False,
+                     small_attention=False)
+
     rng_impl = train_cfg.dropout_rng_impl or (
         "rbg" if jax.default_backend() == "tpu" else None
     )

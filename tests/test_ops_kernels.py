@@ -206,3 +206,80 @@ def test_attention_without_biases():
     out = layers.attention(p, x, H)
     assert out.shape == (2, 8, D)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "B,S,H,hd,with_mask",
+    [
+        (4, 50, 12, 64, False),   # CLIP vision geometry
+        (3, 77, 8, 64, True),     # CLIP text geometry + causal mask
+        (9, 64, 4, 64, False),    # ragged batch vs block_b
+    ],
+)
+def test_attention_small_matches_oracle(B, S, H, hd, with_mask):
+    from clip_lora_match_tpu.ops.attention_small import (
+        attention_small,
+        attention_small_reference,
+    )
+
+    rng = np.random.default_rng(S + B)
+    q = jnp.asarray(rng.normal(size=(B, S, H, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, hd)).astype(np.float32))
+    mask = None
+    if with_mask:
+        neg = float(np.finfo(np.float32).min)
+        mask = jnp.asarray(np.triu(np.full((S, S), neg, np.float32), k=1)[None, None])
+    ref = attention_small_reference(q, k, v, mask)
+    got = attention_small(q, k, v, mask, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_attention_small_grad_matches_oracle():
+    import jax
+
+    from clip_lora_match_tpu.ops.attention_small import (
+        attention_small,
+        attention_small_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(2, 50, 4, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 50, 4, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 50, 4, 64)).astype(np.float32))
+    for arg in range(3):
+        g1 = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(attention_small(*a, interpret=True))),
+            argnums=arg,
+        )(q, k, v)
+        g2 = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(attention_small_reference(*a))), argnums=arg
+        )(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_attention_dispatches_small_kernel():
+    """layers.attention under small_attention+interpret matches the XLA path
+    at CLIP geometry (full in-tower dispatch contract)."""
+    from clip_lora_match_tpu.nn import layers
+
+    rng = np.random.default_rng(12)
+    D, H, S, B = 64, 4, 50, 2
+    p = {
+        name: {
+            "kernel": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.05),
+            "bias": jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.01),
+        }
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    prev = layers.set_kernel_flags(small_attention=False, interpret=True)
+    try:
+        ref = layers.attention(p, x, H)
+        layers.set_kernel_flags(small_attention=True)
+        got = layers.attention(p, x, H)
+    finally:
+        layers.set_kernel_flags(**prev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
