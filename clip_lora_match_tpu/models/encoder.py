@@ -209,11 +209,19 @@ class ClipEncoder:
 
             @partial(jax.jit, static_argnames=())
             def fn(params, lora, input_ids, attention_mask):
+                # Serving drops the padding mask: pad tokens sit AFTER the
+                # EOT position, and under causal masking later tokens cannot
+                # influence earlier ones, so the EOT-pooled embedding is
+                # provably identical (tests/test_clip_parity.py::
+                # test_text_pooling_without_mask_matches). The causal-only
+                # (1,1,S,S) mask is batch-invariant, which lets the small-
+                # attention kernel stream it as one shared block.
+                del attention_mask
                 feats = clip_model.encode_text_features(
                     params,
                     input_ids,
                     self.arch,
-                    attention_mask=attention_mask,
+                    attention_mask=None,
                     eot_id=self.eot_id,
                     lora=lora,
                     lora_scaling=self.lora_scaling,

@@ -62,11 +62,9 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads, head_dim, scale, s_v
         o_ref[:, :, sl] = oh.astype(o_ref.dtype)
 
 
-# Of the 16M scoped-vmem stack limit on v5e; the pipeline double-buffers
-# streamed blocks, and the masked path streams the (bb, 1, S, S) mask too,
-# so it gets a smaller budget (both values validated by compile on v5e).
+# Target within the 16M scoped-vmem stack limit on v5e (margin for Mosaic's
+# own scratch); per-batch cost below models the pipeline's double buffering.
 _VMEM_BUDGET = 13 * 1024 * 1024
-_VMEM_BUDGET_MASKED = 6 * 1024 * 1024
 
 
 def _attention_small_impl(
@@ -76,12 +74,16 @@ def _attention_small_impl(
     sp = -(-S // 64) * 64  # bf16 second-minor tiling wants multiples; 64 is safe
     # size the batch block to the VMEM budget: 4 streamed tensors + the
     # per-head score/exp/prob transients (+ optional mask block)
-    per_b = 4 * sp * H * hd * q.dtype.itemsize + 3 * sp * sp * 4
-    budget = _VMEM_BUDGET
-    if mask is not None:
-        per_b += sp * sp * 4
-        budget = _VMEM_BUDGET_MASKED
-    bb = max(1, min(block_b, B, budget // per_b))
+    # batch-invariant masks (e.g. the causal (1,1,S,S)) stream as ONE shared
+    # block instead of per-batch-slab copies — no VMEM penalty
+    shared_mask = mask is not None and mask.shape[0] == 1
+    # streamed q/k/v/o blocks are double-buffered by the pipeline (2x);
+    # score/exp/prob transients are not (empirically calibrated against
+    # Mosaic's scoped-vmem accounting on v5e)
+    per_b = 2 * 4 * sp * H * hd * q.dtype.itemsize + 3 * sp * sp * 4
+    if mask is not None and not shared_mask:
+        per_b += 2 * sp * sp * 4
+    bb = max(1, min(block_b, B, _VMEM_BUDGET // per_b))
     bp = -(-B // bb) * bb
 
     def prep(x):
@@ -102,11 +104,26 @@ def _attention_small_impl(
     ]
     args = [qp, kp, vp]
     if mask is not None:
-        mb = jnp.broadcast_to(mask, (B, 1, S, S)).astype(jnp.float32)
-        mb = jnp.pad(mb, [(0, bp - B), (0, 0), (0, sp - S), (0, sp - S)])
-        in_specs.append(
-            pl.BlockSpec((bb, 1, sp, sp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        nb = 1 if shared_mask else B
+        mb = jnp.broadcast_to(mask, (nb, 1, S, S)).astype(jnp.float32)
+        mb = jnp.pad(
+            mb, [(0, (1 if shared_mask else bp) - nb), (0, 0),
+                 (0, sp - S), (0, sp - S)]
         )
+        if shared_mask:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, sp, sp), lambda i: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (bb, 1, sp, sp), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
         args.append(mb)
 
     kernel = functools.partial(
