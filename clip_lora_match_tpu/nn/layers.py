@@ -48,6 +48,13 @@ _KERNEL_FLAGS = {
 
 FLASH_MIN_SEQ = 128  # measured crossover on v5e (see docs/DESIGN.md §7.3)
 
+# The small-sequence kernel pads S up to a 64-row tile and keeps the whole
+# sequence in VMEM; measured on v5e it wins ~20% in-tower at S=50 (one tile,
+# image tower) but LOSES ~30% at S=77 (pads to 128 → 40% dead rows while
+# XLA's fused attention runs the true 77): 16.9k → 11.4k txt/s at T=256.
+# Dispatch it only where a single 64-row tile suffices.
+SMALL_ATTN_MAX_SEQ = 64
+
 
 def set_kernel_flags(
     fused_lora: bool | None = None,
@@ -266,7 +273,7 @@ def attention(
     kh = k.reshape(B, S, H, hd)
     vh = v.reshape(B, S, H, hd)
 
-    if _KERNEL_FLAGS["small_attention"] and S <= 128:
+    if _KERNEL_FLAGS["small_attention"] and S <= SMALL_ATTN_MAX_SEQ:
         from clip_lora_match_tpu.ops.attention_small import attention_small
 
         out = attention_small(

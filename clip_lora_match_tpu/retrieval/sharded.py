@@ -49,7 +49,14 @@ def sharded_topk_retrieve(
              each shard must hold ≥ k rows).
     n_valid: true row count when the index was padded.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _shard_map  # jax ≥ 0.8
+
+        def shard_map(f, **kw):  # new API: check_rep renamed to check_vma
+            kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map(f, **kw)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     if mesh is None:
         mesh = index.sharding.mesh  # type: ignore[union-attr]
