@@ -96,6 +96,10 @@ class ClipConfig:
     # Dispatch fused-LoRA / flash-attention Pallas kernels inside the towers
     # (TPU only; the jnp path remains the oracle and CPU fallback)
     use_pallas_kernels: bool = True
+    # Serving quantization: "none" (default) or "int8" — W8A8 dynamic
+    # quantization of the transformer-block linears (quant/int8.py). TPU
+    # serving only; training and parity paths always run full precision.
+    quantize: str = "none"
 
 
 @dataclass(frozen=True)
@@ -255,6 +259,7 @@ def load_clip_config(path: Optional[str] = None) -> ClipConfig:
         num_workers=inf.get("num_workers", 4),
         tokenizer_dir=model.get("tokenizer_dir"),
         use_pallas_kernels=model.get("use_pallas_kernels", True),
+        quantize=model.get("quantize", "none"),
     )
 
 

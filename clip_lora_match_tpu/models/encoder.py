@@ -50,12 +50,19 @@ class ClipEncoder:
         lora=None,
         lora_scaling: float = 1.0,
         compute_dtype: Optional[str] = None,
+        quantize: Optional[str] = None,
     ):
         self.cfg = config or ClipConfig()
         self.arch = arch or self.cfg.arch
         self.params = params
         self.lora = lora
         self.lora_scaling = lora_scaling
+        # int8 W8A8 serving (quant/int8.py): derived from params lazily, so
+        # weight swaps (merge_lora, attach) stay cheap until next encode
+        self.quantize = quantize if quantize is not None else self.cfg.quantize
+        if self.quantize not in ("none", "int8"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}")
+        self._qparams = None
         # Matmul dtype resolution: explicit arg wins; otherwise the YAML
         # `compute_dtype` knob (default bfloat16) applies on TPU, while CPU
         # parity runs follow the fp32 storage dtype. Pass "float32" to force
@@ -78,10 +85,12 @@ class ClipEncoder:
 
             on_tpu = jax.default_backend() == "tpu"
             # serving dispatch (measured, docs/DESIGN.md §7.3): the
-            # small-sequence attention kernel wins ~12% in-tower at CLIP's
-            # S=50/77; flash handles longer sequences via the "auto"
-            # crossover; fused-LoRA fuses the adapter delta into the base
-            # matmul. All TPU-only — CPU keeps the jnp oracle paths.
+            # small-sequence attention kernel wins ~20% in-tower at the image
+            # tower's S=50 but loses at the text tower's S=77 (pads to 128),
+            # so layers.py gates it at SMALL_ATTN_MAX_SEQ=64; flash handles
+            # long sequences via the "auto" crossover; fused-LoRA fuses the
+            # adapter delta into the base matmul. All TPU-only — CPU keeps
+            # the jnp oracle paths.
             set_kernel_flags(
                 fused_lora=on_tpu,
                 flash_attention="auto",
@@ -140,7 +149,22 @@ class ClipEncoder:
         if self.lora is not None:
             self.params = merge_lora(self.params, self.lora, self.lora_scaling)
             self.lora = None
+            self._qparams = None
             self._jit_cache.clear()
+
+    # -- serving weights ---------------------------------------------------------
+
+    def _serving_params(self):
+        """Params tree the compiled encode fns consume: the int8-quantized
+        mirror under quantize="int8" (derived once, cached), else the master
+        float tree. LoRA adapters stay float either way — exact under int8."""
+        if self.quantize == "int8":
+            if self._qparams is None:
+                from clip_lora_match_tpu.quant.int8 import quantize_clip_params
+
+                self._qparams = quantize_clip_params(self.params)
+            return self._qparams
+        return self.params
 
     # -- compiled kernels ------------------------------------------------------
 
@@ -247,7 +271,7 @@ class ClipEncoder:
             pad = np.zeros((b - n,) + pixel_values.shape[1:], pixel_values.dtype)
             pixel_values = np.concatenate([pixel_values, pad])
         out = self._image_fn(normalize)(
-            self.params, self.lora, jnp.asarray(pixel_values)
+            self._serving_params(), self.lora, jnp.asarray(pixel_values)
         )
         return np.asarray(out[:n])
 
@@ -269,7 +293,7 @@ class ClipEncoder:
             input_ids = np.concatenate([input_ids, pad_ids])
             attention_mask = np.concatenate([attention_mask, pad_mask])
         out = self._text_fn(normalize)(
-            self.params, self.lora, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+            self._serving_params(), self.lora, jnp.asarray(input_ids), jnp.asarray(attention_mask)
         )
         return np.asarray(out[:n])
 
@@ -325,7 +349,7 @@ class ClipEncoder:
                 u8 = np.concatenate(
                     [u8, np.zeros((bb - b,) + u8.shape[1:], u8.dtype)]
                 )
-            emb = fn(self.params, self.lora, jnp.asarray(u8))
+            emb = fn(self._serving_params(), self.lora, jnp.asarray(u8))
             if pending is not None:
                 p_emb, p_row, p_b = pending
                 out[p_row : p_row + p_b] = np.asarray(p_emb[:p_b])

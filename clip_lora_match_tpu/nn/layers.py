@@ -121,6 +121,17 @@ def linear(
     applies to the adapter branch input, PEFT convention.
     """
     out_dtype = x.dtype
+    if "kernel_q" in p:
+        # int8 serving path (quant/int8.py): dynamic per-token activation
+        # quant + int8 MXU dot; LoRA delta stays float, added after dequant.
+        from clip_lora_match_tpu.quant.int8 import int8_matmul
+
+        y = int8_matmul(x, p["kernel_q"], p["w_scale"])
+        if lora is not None:
+            y = y + _lora_delta(x, lora, lora_scaling, lora_dropout, dropout_rng)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(y.dtype)
+        return y.astype(out_dtype)
     w = p["kernel"]
     # fp32 path (parity/CPU): fp32 accumulation AND fp32 elementwise tail.
     # bf16 path (TPU production): MXU still accumulates fp32 internally, but
@@ -228,12 +239,52 @@ def attention(
             return None
         return jax.random.fold_in(dropout_rng, i)
 
-    use_fused_pallas = _KERNEL_FLAGS["fused_lora"] and lora is not None
+    quantized = "kernel_q" in p["q_proj"]
+    use_fused_pallas = (
+        _KERNEL_FLAGS["fused_lora"] and lora is not None and not quantized
+    )
     if use_fused_pallas:
         # per-projection path so the fused base+LoRA Pallas kernel dispatches
         q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), dropout_rng=rng_for(0), **kw)
         k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
         v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
+    elif quantized:
+        # int8 fused QKV: one per-token activation quant feeds all three
+        # int8 dots (kernels and per-out-channel scales concatenated at trace
+        # time, hoisted by XLA like the float path's concat below)
+        from clip_lora_match_tpu.quant.int8 import int8_matmul
+
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        wq = jnp.concatenate(
+            [p[n]["kernel_q"] for n in ("q_proj", "k_proj", "v_proj")], axis=1
+        )
+        ws = jnp.concatenate(
+            [p[n]["w_scale"] for n in ("q_proj", "k_proj", "v_proj")]
+        )
+        qkv = int8_matmul(xc, wq, ws)
+        biases = [p[n].get("bias") for n in ("q_proj", "k_proj", "v_proj")]
+        if any(b is not None for b in biases):
+            parts = [
+                b if b is not None else jnp.zeros((D,), jnp.float32)
+                for b in biases
+            ]
+            qkv = qkv + jnp.concatenate(parts).astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        for name, idx, t in (("q_proj", 0, "q"), ("k_proj", 1, "k"), ("v_proj", 2, "v")):
+            lp = _lora_get(lora, name)
+            if lp is not None:
+                delta = _lora_delta(
+                    xc, lp, lora_scaling, lora_dropout, rng_for(idx)
+                ).astype(qkv.dtype)
+                if t == "q":
+                    q = q + delta
+                elif t == "k":
+                    k = k + delta
+                else:
+                    v = v + delta
+        q = q.astype(x.dtype)
+        k = k.astype(x.dtype)
+        v = v.astype(x.dtype)
     else:
         acc_dtype = jnp.float32 if compute_dtype is None else compute_dtype
         xc = x if compute_dtype is None else x.astype(compute_dtype)
