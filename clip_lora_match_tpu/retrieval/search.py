@@ -9,6 +9,7 @@ per service like ref:src/api/main.py:52-62).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -33,7 +34,16 @@ class SearchResult:
 class SearchIndex:
     """Top-k cosine search over an embedding index."""
 
-    def __init__(self, index: EmbeddingIndex, encoder: Optional[ClipEncoder] = None):
+    def __init__(
+        self,
+        index: EmbeddingIndex | str,
+        encoder: Optional[ClipEncoder] = None,
+        dim: int = 512,
+    ):
+        # drop-in parity: the reference constructs from a path
+        # (ref:src/embedding/search.py:24 ``TextSearchIndex(index_path)``)
+        if isinstance(index, (str, os.PathLike)):
+            index = EmbeddingIndex.load(str(index), dim=dim)
         self.index = index
         self.encoder = encoder
 

@@ -143,6 +143,20 @@ def test_load_shipped_reference_index(reference_root):
     assert verify_index(idx)
 
 
+def test_search_index_constructs_from_path(reference_root):
+    """Drop-in parity: the reference constructs ``TextSearchIndex(index_path)``
+    directly from a path string (ref:src/embedding/search.py:24)."""
+    pytest.importorskip("torch")
+    from clip_lora_match_tpu.retrieval.search import TextSearchIndex
+
+    tsi = TextSearchIndex(
+        os.path.join(reference_root, "data/index/custom_items_index.pt")
+    )
+    assert len(tsi.index) == 6
+    res = tsi.search_with_embedding(tsi.index.embeddings_np()[1], k=2)
+    assert res[0].index == 1
+
+
 def test_missing_file_starts_empty(tmp_path):
     idx = EmbeddingIndex.load(str(tmp_path / "nope.npz"), dim=16)
     assert len(idx) == 0
