@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -63,6 +64,45 @@ class ClipArchConfig:
         return (self.image_size // self.patch_size) ** 2 + 1  # +1 class token
 
 
+# Known OpenAI CLIP geometries. The reference resolves architecture through
+# the HF hub by model name (ref:models/clip_model.py:44-60); zero-egress here,
+# so the same names map to explicit presets instead.
+VIT_B32 = ClipArchConfig()
+VIT_B16 = ClipArchConfig(patch_size=16)
+VIT_L14 = ClipArchConfig(
+    patch_size=14,
+    vision_width=1024,
+    vision_layers=24,
+    vision_heads=16,
+    vision_mlp_dim=4096,
+    text_width=768,
+    text_heads=12,
+    text_mlp_dim=3072,
+    projection_dim=768,
+)
+VIT_L14_336 = dataclasses.replace(VIT_L14, image_size=336)
+
+ARCH_PRESETS = {
+    "openai/clip-vit-base-patch32": VIT_B32,
+    "openai/clip-vit-base-patch16": VIT_B16,
+    "openai/clip-vit-large-patch14": VIT_L14,
+    "openai/clip-vit-large-patch14-336": VIT_L14_336,
+}
+
+
+def arch_for_model_name(name: str) -> ClipArchConfig:
+    """Resolve a CLIP model name to its architecture preset; unknown names
+    warn and fall back to ViT-B/32 (the reference's silent `.get` default,
+    ref:models/clip_model.py:44, made loud)."""
+    if name in ARCH_PRESETS:
+        return ARCH_PRESETS[name]
+    warnings.warn(
+        f"unknown CLIP model name {name!r}; assuming ViT-B/32 geometry "
+        f"(known: {sorted(ARCH_PRESETS)})"
+    )
+    return VIT_B32
+
+
 @dataclass(frozen=True)
 class PreprocessConfig:
     """Mirrors the ``preprocess:`` block of config/clip_config.yaml."""
@@ -90,7 +130,10 @@ class ClipConfig:
     logs_dir: str = "logs/clip"
     batch_size: int = 16
     num_workers: int = 4
-    arch: ClipArchConfig = field(default_factory=ClipArchConfig)
+    # None → resolved from model_name via ARCH_PRESETS in __post_init__, so
+    # configuring e.g. openai/clip-vit-large-patch14 actually builds L/14
+    # towers (the name was previously cosmetic — a silent B/32).
+    arch: Optional[ClipArchConfig] = None
     # Optional tokenizer asset dir (vocab.json + merges.txt)
     tokenizer_dir: Optional[str] = None
     # Dispatch fused-LoRA / flash-attention Pallas kernels inside the towers
@@ -100,6 +143,10 @@ class ClipConfig:
     # quantization of the transformer-block linears (quant/int8.py). TPU
     # serving only; training and parity paths always run full precision.
     quantize: str = "none"
+
+    def __post_init__(self):
+        if self.arch is None:
+            object.__setattr__(self, "arch", arch_for_model_name(self.model_name))
 
 
 @dataclass(frozen=True)
@@ -260,6 +307,20 @@ def load_clip_config(path: Optional[str] = None) -> ClipConfig:
         tokenizer_dir=model.get("tokenizer_dir"),
         use_pallas_kernels=model.get("use_pallas_kernels", True),
         quantize=model.get("quantize", "none"),
+        arch=_arch_from_yaml(model),
+    )
+
+
+def _arch_from_yaml(model: dict) -> Optional[ClipArchConfig]:
+    """Optional explicit ``model.arch:`` override block (custom geometries);
+    None lets ClipConfig resolve the preset from the model name."""
+    block = model.get("arch")
+    if not block:
+        return None
+    base = arch_for_model_name(model.get("name", "openai/clip-vit-base-patch32"))
+    known = {f.name for f in dataclasses.fields(ClipArchConfig)}
+    return dataclasses.replace(
+        base, **{k: v for k, v in block.items() if k in known}
     )
 
 

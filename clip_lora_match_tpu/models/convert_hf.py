@@ -65,11 +65,52 @@ def _blocks(sd: Mapping, prefix: str, n_layers: int) -> Params:
     return stack_blocks(blocks)
 
 
+def infer_arch_from_state_dict(sd: Mapping) -> ClipArchConfig:
+    """Derive the full ClipArchConfig from an HF CLIPModel state_dict, so any
+    CLIP checkpoint (B/32, B/16, L/14, custom) self-describes — no manual
+    geometry bookkeeping (the reference delegated this to the HF hub,
+    ref:models/clip_model.py:44-60).
+
+    Head counts are not recoverable from tensor shapes; they follow OpenAI's
+    fixed 64-dim-per-head convention (ViT-B: 768/64=12, ViT-L: 1024/64=16,
+    text 512/64=8 … matching every released CLIP).
+    """
+    import re
+
+    patch_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    vw, _, ph, _ = patch_w.shape
+    vis_pos = _np(sd["vision_model.embeddings.position_embedding.weight"])
+    image_size = int(round((vis_pos.shape[0] - 1) ** 0.5)) * ph
+    tok = _np(sd["text_model.embeddings.token_embedding.weight"])
+    txt_pos = _np(sd["text_model.embeddings.position_embedding.weight"])
+
+    def n_layers(prefix):
+        pat = re.compile(rf"{prefix}\.encoder\.layers\.(\d+)\.")
+        idx = [int(m.group(1)) for k in sd if (m := pat.match(k))]
+        return max(idx) + 1
+
+    return ClipArchConfig(
+        image_size=image_size,
+        patch_size=ph,
+        vision_width=vw,
+        vision_layers=n_layers("vision_model"),
+        vision_heads=vw // 64,
+        vision_mlp_dim=_np(sd["vision_model.encoder.layers.0.mlp.fc1.weight"]).shape[0],
+        vocab_size=tok.shape[0],
+        max_text_length=txt_pos.shape[0],
+        text_width=tok.shape[1],
+        text_layers=n_layers("text_model"),
+        text_heads=max(1, tok.shape[1] // 64),
+        text_mlp_dim=_np(sd["text_model.encoder.layers.0.mlp.fc1.weight"]).shape[0],
+        projection_dim=_np(sd["text_projection.weight"]).shape[0],
+    )
+
+
 def convert_hf_clip_state_dict(
     sd: Mapping, arch: ClipArchConfig | None = None
 ) -> Params:
     """HF CLIPModel state_dict (torch tensors or ndarrays) → our pytree."""
-    arch = arch or ClipArchConfig()
+    arch = arch or infer_arch_from_state_dict(sd)
     sd = {k: v for k, v in sd.items()}
     patch_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
     vw = patch_w.shape[0]

@@ -199,3 +199,120 @@ def test_init_params_rng_keys_uncorrelated():
     t = tp[:k].ravel()
     corr = abs(float(np.corrcoef(v[: t.size], t[: v.size])[0, 1]))
     assert corr < 0.2, f"projection inits look correlated: |corr|={corr:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Model-family breadth: presets, checkpoint arch inference, non-B/32 parity
+# ---------------------------------------------------------------------------
+
+
+def test_arch_presets_resolve_from_model_name():
+    """Configuring a non-B/32 model name must build that geometry, not a
+    silent B/32 (the reference resolved this through the HF hub,
+    ref:models/clip_model.py:44-60)."""
+    from clip_lora_match_tpu.core.config import VIT_B16, VIT_L14, ClipConfig
+
+    cfg = ClipConfig(model_name="openai/clip-vit-base-patch16")
+    assert cfg.arch == VIT_B16 and cfg.arch.patch_size == 16
+    cfg = ClipConfig(model_name="openai/clip-vit-large-patch14")
+    assert cfg.arch == VIT_L14 and cfg.arch.vision_layers == 24
+    assert cfg.arch.projection_dim == 768
+    with pytest.warns(UserWarning, match="unknown CLIP model name"):
+        cfg = ClipConfig(model_name="someone/custom-clip")
+    assert cfg.arch.patch_size == 32  # B/32 fallback
+
+
+def test_arch_yaml_override_block(tmp_path):
+    from clip_lora_match_tpu.core.config import load_clip_config
+
+    p = tmp_path / "clip.yaml"
+    p.write_text(
+        "model:\n  name: openai/clip-vit-base-patch16\n"
+        "  arch:\n    vision_layers: 3\n    projection_dim: 128\n"
+    )
+    cfg = load_clip_config(str(p))
+    assert cfg.arch.patch_size == 16  # from the preset
+    assert cfg.arch.vision_layers == 3 and cfg.arch.projection_dim == 128
+
+
+INFER = ClipArchConfig(
+    image_size=32,
+    patch_size=16,
+    vision_width=128,
+    vision_layers=2,
+    vision_heads=2,   # = width/64: inference-recoverable convention
+    vision_mlp_dim=256,
+    vocab_size=101,
+    max_text_length=16,
+    text_width=64,
+    text_layers=3,
+    text_heads=1,
+    text_mlp_dim=128,
+    projection_dim=24,
+)
+
+
+def test_infer_arch_from_state_dict():
+    """Any CLIP checkpoint self-describes: geometry recovered exactly from
+    tensor shapes (heads via OpenAI's 64-dim-per-head convention)."""
+    from clip_lora_match_tpu.models.convert_hf import infer_arch_from_state_dict
+
+    hf, _ = _make_pair(INFER)
+    got = infer_arch_from_state_dict(hf.state_dict())
+    assert got == INFER
+
+
+def test_parity_non_b32_geometry():
+    """Converter + towers at an L/14-flavored geometry (patch 14 ⇒ 257-token
+    vision sequence, distinct projection dim) — the family is generic, not
+    hardcoded to B/32."""
+    arch = ClipArchConfig(
+        image_size=112,
+        patch_size=14,
+        vision_width=128,
+        vision_layers=3,
+        vision_heads=2,
+        vision_mlp_dim=256,
+        vocab_size=211,
+        max_text_length=12,
+        text_width=64,
+        text_layers=2,
+        text_heads=1,
+        text_mlp_dim=128,
+        projection_dim=48,
+    )
+    hf, params = _make_pair(arch, seed=11)
+    pix, ids, mask = _rand_inputs(arch, batch=2, seed=5)
+    with torch.no_grad():
+        t_img = hf.get_image_features(
+            pixel_values=torch.from_numpy(np.moveaxis(pix, -1, 1))
+        ).numpy()
+        t_txt = hf.get_text_features(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).numpy()
+    j_img = np.asarray(jclip.encode_image_features(params, pix, arch))
+    j_txt = np.asarray(
+        jclip.encode_text_features(
+            params, ids, arch, attention_mask=mask, eot_id=arch.vocab_size - 1
+        )
+    )
+    np.testing.assert_allclose(j_img, t_img, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(j_txt, t_txt, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_vit_b16_parity():
+    """Full ViT-B/16: the 197-token vision sequence at production widths,
+    arch resolved from the model-name preset."""
+    from clip_lora_match_tpu.core.config import VIT_B16
+
+    hf, params = _make_pair(VIT_B16, seed=13)
+    pix, ids, mask = _rand_inputs(VIT_B16, batch=2, seed=9)
+    with torch.no_grad():
+        t_img = hf.get_image_features(
+            pixel_values=torch.from_numpy(np.moveaxis(pix, -1, 1))
+        ).numpy()
+    j_img = np.asarray(jclip.encode_image_features(params, pix, VIT_B16))
+    for i in range(j_img.shape[0]):
+        assert _cosine(j_img[i], t_img[i]) >= 0.999
+    np.testing.assert_allclose(j_img, t_img, atol=5e-4, rtol=1e-3)
