@@ -167,7 +167,7 @@ def main():
     def embed_texts(params, ids):
         feats = clip_model.encode_text_features(
             params, ids, arch, eot_id=arch.vocab_size - 1,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=jnp.bfloat16, unroll=True,
         )
         return clip_model.l2_normalize(feats)
 

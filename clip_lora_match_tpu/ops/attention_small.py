@@ -79,7 +79,11 @@ def _attention_small_impl(
     q, k, v, mask, scale: float, block_b: int, interpret: bool
 ):
     B, S, H, hd = q.shape
-    sp = -(-S // 64) * 64  # bf16 second-minor tiling wants multiples; 64 is safe
+    # pad S to the dtype's native sublane tile (16 for bf16, 8 for fp32):
+    # tight padding matters — 77→80 rows halves the kernel vs 77→128
+    # (0.11 vs 0.22 ms/layer measured at CLIP text geometry on v5e)
+    mult = 16 if q.dtype.itemsize <= 2 else 8
+    sp = -(-S // mult) * mult
     # size the batch block to the VMEM budget: 4 streamed tensors + the
     # per-head score/exp/prob transients (+ optional mask block)
     # batch-invariant masks (e.g. the causal (1,1,S,S)) stream as ONE shared
