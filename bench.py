@@ -139,9 +139,10 @@ def main():
     )
 
     # --- image embed throughput (the headline) ---
-    # B=128 is the measured v5e sweet spot (10.4k img/s vs 8.9k at 256:
-    # larger batches push per-op intermediates past VMEM fusion windows)
-    B = 128 if on_tpu else 16
+    # B=96 is the measured v5e sweet spot with the small-attention kernel
+    # (15.5k img/s vs 13.3k at 128 and 10.5k at 256: larger batches push
+    # per-op intermediates past VMEM fusion windows; swept 64-256, 2 trials)
+    B = 96 if on_tpu else 16
     pix = jnp.asarray(
         rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(np.float32)
     )
@@ -307,9 +308,9 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
     enc = ClipEncoder(params, arch=arch, config=ClipConfig(), compute_dtype="bfloat16")
     # warm the SAME bucket the timed run uses (128) so compile stays out of
     # the measurement
-    enc.encode_image_files(paths[:128], batch_size=128)
+    enc.encode_image_files(paths[:96], batch_size=96)
     t0 = time.perf_counter()
-    out = enc.encode_image_files(paths, batch_size=128)
+    out = enc.encode_image_files(paths, batch_size=96)
     dt = time.perf_counter() - t0
     rate = len(paths) / dt
     print(

@@ -29,7 +29,7 @@ from clip_lora_match_tpu.models import clip as clip_model
 from clip_lora_match_tpu.models.io import load_params, save_params
 from clip_lora_match_tpu.preprocess.pipeline import ClipPreprocessor
 
-_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 96, 128, 256, 512, 1024)  # 96: v5e image sweet spot
 
 
 def _bucket(n: int) -> int:
@@ -311,7 +311,7 @@ class ClipEncoder:
     def encode_image_files(
         self,
         paths: Sequence[str],
-        batch_size: int = 128,
+        batch_size: int = 96,
         normalize: bool = True,
         num_threads: Optional[int] = None,
     ) -> np.ndarray:
