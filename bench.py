@@ -158,7 +158,8 @@ def main():
     images_per_sec = B / t_img
 
     # --- text embed throughput ---
-    T = 256 if on_tpu else 32  # measured sweet spot (10.8k/s vs 8.8k at 512)
+    # T=96 measured sweet spot (17.8k/s vs 14.5k at 256; swept 96-320, 2 trials)
+    T = 96 if on_tpu else 32
     ids = rng.integers(0, arch.vocab_size - 2, (T, arch.max_text_length)).astype(
         np.int32
     )
@@ -205,6 +206,14 @@ def main():
         except Exception as e:
             print(f"[bench] jpeg-e2e extra failed: {e}", file=sys.stderr)
 
+    # --- YOLOv8-s detector (the crop stage) ---
+    yolo = {}
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_YOLO") != "1":
+        try:
+            yolo = _yolo_extra()
+        except Exception as e:
+            print(f"[bench] yolo extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -221,6 +230,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     **big_topk,
                     **e2e,
+                    **yolo,
                 },
             }
         ),
@@ -320,6 +330,35 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
     )
     assert out.shape == (len(paths), arch.projection_dim)
     return {"jpeg_e2e_images_per_sec": round(rate, 1), "jpeg_e2e_files": len(paths)}
+
+
+def _yolo_extra() -> dict:
+    """yolov8s full detect path (backbone+PAN+DFL decode+fixed-slot NMS) at
+    640², batched — the reference ran ultralytics one image at a time
+    (ref:src/preprocessing/yolo_cropper.py:83-92)."""
+    import functools
+
+    from clip_lora_match_tpu.models.yolo import yolov8
+
+    params = yolov8.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B = 16
+    imgs = jnp.asarray(rng.random((B, 640, 640, 3)).astype(np.float32))
+
+    @jax.jit
+    def infer(params, images):
+        outs = yolov8.forward(params, images)
+        boxes, probs = yolov8.decode_predictions(outs)
+        scores = jnp.max(probs, axis=-1)
+        classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return jax.vmap(
+            lambda b, s, c: yolov8.nms_fixed(
+                b, s, c, 0.25, 0.45, max_det=5, agnostic=False
+            )
+        )(boxes, scores, classes)
+
+    t = _bench(infer, params, imgs, iters=6, label="yolo_v8s")
+    return {"yolo_v8s_images_per_sec": round(B / t, 1), "yolo_batch": B}
 
 
 def _train_step_extra(arch, params, rng):
