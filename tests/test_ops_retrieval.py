@@ -89,6 +89,47 @@ def test_twopass_matches_oracle(N, tile):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
 
 
+@pytest.mark.parametrize(
+    "Q,N,D,dtype,n_valid",
+    [
+        (9, 1000, 128, np.float32, None),     # ragged Q + bn-padded N
+        (4, 4097, 128, np.float32, None),     # partial final tile
+        (5, 2048, 128, np.float32, 2000),     # caller-declared invalid rows
+        (3, 1500, 256, "bfloat16", None),     # bf16 storage path
+    ],
+)
+def test_twopass_pallas_pass1_matches_oracle(Q, N, D, dtype, n_valid):
+    """The Pallas tile-max pass 1 (transposed dot, sublane-split reduce,
+    in-kernel pad-tile masking) must stay EXACT vs the oracle through all the
+    padding regimes (query pad to 8, index pad to the 1-2k n-block)."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(N + Q)
+    idx = rng.normal(size=(N, D)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(Q, D)).astype(np.float32)
+    store = jnp.asarray(idx, jnp.bfloat16) if dtype == "bfloat16" else jnp.asarray(idx)
+    s, i = topk_retrieve_twopass(
+        jnp.asarray(qs), store, 10, tile=16, n_valid=n_valid,
+        pallas_pass1=True, interpret=True,
+    )
+    ref_idx = idx if n_valid is None else idx[:n_valid]
+    so, io = topk_retrieve_reference(
+        jnp.asarray(qs), jnp.asarray(ref_idx), 10
+    )
+    if dtype == "bfloat16":
+        overlap = [
+            len(set(np.asarray(i)[r]) & set(np.asarray(io)[r])) for r in range(Q)
+        ]
+        assert min(overlap) >= 8, overlap
+    else:
+        np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+
 def test_twopass_k_clamp_and_bf16():
     from clip_lora_match_tpu.ops.retrieval_topk import (
         topk_retrieve_reference,
