@@ -310,9 +310,13 @@ def _tilemax_pallas(
 
     The grid covers only the bn-aligned prefix of the index — NO padding
     copy of the (possibly GB-scale) index array; the ragged tail (< bn
-    rows) goes through the XLA fused form and is concatenated. ``index``
+    rows) goes through the XLA fused form and is returned SEPARATELY
+    (concatenating it onto the (Q, nt) main part costs 3-6 ms of extra
+    HBM copies at N=1M — measured 10.5 vs 3.9-7.7 ms total). ``index``
     must already be padded to a ``tile`` multiple (caller invariant) so the
     tail reshape is exact.
+
+    Returns (main (Q, n_main/tile), tail (Q, t_tiles) | None).
     """
     Q, D = qc.shape
     N = index.shape[0]
@@ -336,7 +340,7 @@ def _tilemax_pallas(
         qc = jnp.pad(qc, ((0, qp - Q), (0, 0)))
     n_main = (N // bn) * bn
 
-    parts = []
+    main = None
     if n_main > 0:
         out = pl.pallas_call(
             functools.partial(
@@ -353,7 +357,8 @@ def _tilemax_pallas(
             out_shape=jax.ShapeDtypeStruct((qp, n_main // tile), jnp.float32),
             interpret=interpret,
         )(qc, index)
-        parts.append(out[:Q])
+        main = out[:Q]
+    tail_max = None
     if n_main < N:  # ragged tail, < bn rows: XLA fused dot+max
         tail = index[n_main:].reshape(-1, tile, D)
         ts = jax.lax.dot_general(
@@ -362,8 +367,8 @@ def _tilemax_pallas(
         ).max(axis=2)
         base = n_main // tile
         col = base + jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
-        parts.append(jnp.where(col < nt_valid, ts, NEG_INF))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        tail_max = jnp.where(col < nt_valid, ts, NEG_INF)
+    return main, tail_max
 
 
 @functools.partial(
@@ -395,9 +400,28 @@ def _topk_twopass_impl(
     idx3 = index.reshape(nt, tile, D)
 
     if pallas_pass1:
-        # kernel masks fully-invalid tiles to -inf in its epilogue, so the
-        # caller's slack accounting stays at tile granularity
-        tile_max = _tilemax_pallas(qc, index, tile, nt, interpret)
+        main, tail = _tilemax_pallas(qc, index, tile, nt, interpret)
+        # pass 2 without ever concatenating tail onto the (Q, nt) main part
+        # (that concat re-copies 256 MB at N=1M — measured 3-6 ms): select
+        # candidate tiles from each part, merge on the tiny (Q, ~k_sel+128)
+        # candidate tensors, take the global top-k_sel there.
+        parts_v, parts_i = [], []
+        if main is not None:
+            km = min(k_sel, main.shape[1])
+            mv, mi = jax.lax.approx_max_k(main, km, recall_target=1.0)
+            parts_v.append(mv)
+            parts_i.append(mi.astype(jnp.int32))
+        if tail is not None:
+            base = 0 if main is None else main.shape[1]
+            t_ids = base + jax.lax.broadcasted_iota(
+                jnp.int32, (Q, tail.shape[1]), 1
+            )
+            parts_v.append(tail)
+            parts_i.append(t_ids)
+        cand_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=1)
+        cand_i = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=1)
+        _, pos = jax.lax.top_k(cand_v, min(k_sel, cand_v.shape[1]))
+        tile_ids = jnp.take_along_axis(cand_i, pos, axis=1)
     else:
         # pass 1: 3D dot producing (Q, nt, tile) DIRECTLY — no reshape and NO
         # mask between the dot and the reduce (either would break XLA's output
@@ -407,13 +431,14 @@ def _topk_twopass_impl(
         )  # (Q, nt, tile), consumed by the fused max below
         tile_max = scores.max(axis=2)
 
-    # pass 2: k_sel highest-max tiles per query (k plus enough slack that
-    # pad-inflated tiles cannot evict a true top-k tile; see caller docstring)
-    _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
-    # clamp: with the pallas pass 1, tile_max has masked -inf columns past
-    # nt; they can't be selected (caller guarantees nt >= k_sel unmasked
-    # tiles) but the clamp keeps the gather in-bounds unconditionally
-    tile_ids = jnp.minimum(tile_ids.astype(jnp.int32), nt - 1)
+        # pass 2: k_sel highest-max tiles per query (k plus enough slack that
+        # pad-inflated tiles cannot evict a true top-k tile; see caller
+        # docstring)
+        _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
+        tile_ids = tile_ids.astype(jnp.int32)
+    # clamp keeps the pass-3 gather in-bounds unconditionally (masked -inf
+    # columns can only be selected when there are fewer than k_sel real ones)
+    tile_ids = jnp.minimum(tile_ids, nt - 1)
 
     # pass 3: gather selected tiles, rescore, mask pad rows, exact top-k
     rows = idx3[tile_ids]  # (Q, k_sel, tile, D)

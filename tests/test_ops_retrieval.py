@@ -92,8 +92,9 @@ def test_twopass_matches_oracle(N, tile):
 @pytest.mark.parametrize(
     "Q,N,D,dtype,n_valid",
     [
-        (9, 1000, 128, np.float32, None),     # ragged Q + bn-padded N
-        (4, 4097, 128, np.float32, None),     # partial final tile
+        (9, 1000, 128, np.float32, None),     # tail-only (N < bn)
+        (4, 4097, 128, np.float32, None),     # main + 1-tile tail
+        (6, 2500, 128, np.float32, None),     # main + multi-tile tail merge
         (5, 2048, 128, np.float32, 2000),     # caller-declared invalid rows
         (3, 1500, 256, "bfloat16", None),     # bf16 storage path
     ],
