@@ -45,18 +45,28 @@ def nms_fixed(
     sorted by descending score; invalid slots zeroed.
     """
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
-    iou = box_iou(boxes, boxes)
-    if not agnostic:
-        same_class = classes[:, None] == classes[None, :]
-        iou = jnp.where(same_class, iou, 0.0)
+    # Greedy NMS needs only the SELECTED boxes' IoU rows — max_det·N work.
+    # The full (N, N) IoU matrix is ~282 MB at N=8400 and dominated the whole
+    # detect path (measured 35 of 43 ms at B=16 on v5e before this fix).
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
 
     def pick_one(carry, _):
         live_scores, = carry
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
         keep = best_score > 0.0
+        bb = boxes[best]
+        lt = jnp.maximum(boxes[:, :2], bb[:2])
+        rb = jnp.minimum(boxes[:, 2:], bb[2:])
+        wh = jnp.maximum(rb - lt, 0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou_row = inter / jnp.maximum(area + area[best] - inter, 1e-9)
         # suppress overlapping boxes of the same class (and self)
-        suppress = iou[best] >= iou_threshold
+        suppress = iou_row >= iou_threshold
+        if not agnostic:
+            suppress = suppress & (classes == classes[best])
         live_scores = jnp.where(suppress, 0.0, live_scores)
         live_scores = live_scores.at[best].set(0.0)
         return (live_scores,), (best, best_score, keep)
