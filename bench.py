@@ -316,8 +316,10 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
             paths.append(pth)
 
     enc = ClipEncoder(params, arch=arch, config=ClipConfig(), compute_dtype="bfloat16")
-    # warm the SAME bucket the timed run uses (128) so compile stays out of
-    # the measurement
+    # warm the SAME bucket the timed run uses; keep the file count a batch
+    # multiple so no ragged final batch compiles a cold bucket inside the
+    # timed region (512 % 96 = 32 cost ~7 s of compile when overlooked)
+    paths = paths[: (len(paths) // 96) * 96]
     enc.encode_image_files(paths[:96], batch_size=96)
     t0 = time.perf_counter()
     out = enc.encode_image_files(paths, batch_size=96)
