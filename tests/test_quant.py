@@ -131,6 +131,51 @@ def test_encoder_int8_mode_end_to_end_and_ranking():
     assert (sims_f.argmax(1) == sims_q.argmax(1)).all()
 
 
+def test_encoder_int8_with_lora_adapter():
+    """int8 base + float LoRA compose at the encoder level: attaching an
+    adapter changes embeddings, and the int8 delta tracks the float delta
+    (the adapter itself bypasses quantization)."""
+    import jax.numpy as jnp
+
+    from clip_lora_match_tpu.core.config import LoraConfig
+    from clip_lora_match_tpu.lora import init_lora
+    from clip_lora_match_tpu.models.encoder import ClipEncoder
+
+    arch = ClipArchConfig(
+        vision_layers=2, text_layers=2, vision_width=64, text_width=64,
+        vision_heads=2, text_heads=2, vision_mlp_dim=256, text_mlp_dim=256,
+        projection_dim=32, vocab_size=512, max_text_length=12, image_size=32,
+        patch_size=16,
+    )
+    cfg = ClipConfig(arch=arch, use_pallas_kernels=False)
+    params = clip_model.init_params(jax.random.PRNGKey(2), arch)
+    lora_cfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(jax.random.PRNGKey(3), arch, lora_cfg)
+    # make the adapter non-trivial (init_lora zeros B, a no-op)
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.05 if x.ndim else x, lora
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+
+    def embeds(quantize, with_lora):
+        enc = ClipEncoder(
+            params, arch=arch, config=cfg,
+            quantize=quantize,
+            lora=lora if with_lora else None,
+            lora_scaling=lora_cfg.scaling,
+        )
+        return enc.encode_image_batch(pix, normalize=False)
+
+    d_float = embeds("none", True) - embeds("none", False)
+    d_int8 = embeds("int8", True) - embeds("int8", False)
+    assert np.abs(d_float).max() > 1e-4  # adapter actually does something
+    # deltas agree up to the quantization noise of the activations each
+    # adapter branch sees (the branches themselves are float-exact)
+    assert _cosine(d_float, d_int8).min() > 0.97
+
+
 def test_encoder_rejects_unknown_quantize_mode():
     from clip_lora_match_tpu.models.encoder import ClipEncoder
 
