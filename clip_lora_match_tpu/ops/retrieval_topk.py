@@ -452,9 +452,11 @@ def _topk_twopass_impl(
     return s, jnp.take_along_axis(flat_ids, pos, axis=1)
 
 
-# N above which the two-pass path beats the streaming kernel (measured on
-# v5e: streaming wins at 40k (≈490k qps), two-pass wins at ≥1M).
-TWOPASS_MIN_N = 262_144
+# N above which the two-pass path beats the streaming kernel. Re-measured on
+# v5e with the Pallas tile-max pass 1 (Q=256, D=512, k=10): streaming wins at
+# 40,960 (466k vs 278k qps), two-pass from 65,536 up (400k vs 288k; 4.6x by
+# 524k rows).
+TWOPASS_MIN_N = 65_536
 
 
 def topk_retrieve_auto(
