@@ -329,13 +329,15 @@ def _tilemax_pallas(
         qp = -(-Q // 512) * 512
         bq = 512
     # shrink bq until the working set (double-buffered index block + query
-    # block + fp32 score/out transients) fits VMEM
+    # block + fp32 score/out transients) fits VMEM; candidates must stay
+    # multiples of 8 (sublane granularity of the out block) that divide qp
     it = index.dtype.itemsize
     while bq > 8:
         need = 2 * bn * D * it + bq * D * it + bn * bq * 4 + 2 * bq * ntb * 4
-        if need <= _TILEMAX_VMEM or bq <= 64:
+        half = bq // 2
+        if need <= _TILEMAX_VMEM or bq <= 64 or half % 8 or qp % half:
             break
-        bq //= 2
+        bq = half
     if qp != Q:
         qc = jnp.pad(qc, ((0, qp - Q), (0, 0)))
     n_main = (N // bn) * bn
