@@ -338,8 +338,6 @@ def _yolo_extra() -> dict:
     """yolov8s full detect path (backbone+PAN+DFL decode+fixed-slot NMS) at
     640², batched — the reference ran ultralytics one image at a time
     (ref:src/preprocessing/yolo_cropper.py:83-92)."""
-    import functools
-
     from clip_lora_match_tpu.models.yolo import yolov8
 
     params = yolov8.init_params(jax.random.PRNGKey(0))

@@ -147,6 +147,17 @@ class ClipConfig:
     def __post_init__(self):
         if self.arch is None:
             object.__setattr__(self, "arch", arch_for_model_name(self.model_name))
+        # the preprocessor must emit exactly the model's input resolution
+        # (e.g. L/14-336): keep them in lock-step so a name-driven config
+        # works end-to-end rather than failing at the pos-embedding add
+        if self.preprocess.image_size != self.arch.image_size:
+            object.__setattr__(
+                self,
+                "preprocess",
+                dataclasses.replace(
+                    self.preprocess, image_size=self.arch.image_size
+                ),
+            )
 
 
 @dataclass(frozen=True)
@@ -319,6 +330,9 @@ def _arch_from_yaml(model: dict) -> Optional[ClipArchConfig]:
         return None
     base = arch_for_model_name(model.get("name", "openai/clip-vit-base-patch32"))
     known = {f.name for f in dataclasses.fields(ClipArchConfig)}
+    unknown = sorted(set(block) - known)
+    if unknown:
+        warnings.warn(f"ignoring unknown model.arch keys: {unknown}")
     return dataclasses.replace(
         base, **{k: v for k, v in block.items() if k in known}
     )

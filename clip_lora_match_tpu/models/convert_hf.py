@@ -94,7 +94,7 @@ def infer_arch_from_state_dict(sd: Mapping) -> ClipArchConfig:
         patch_size=ph,
         vision_width=vw,
         vision_layers=n_layers("vision_model"),
-        vision_heads=vw // 64,
+        vision_heads=max(1, vw // 64),
         vision_mlp_dim=_np(sd["vision_model.encoder.layers.0.mlp.fc1.weight"]).shape[0],
         vocab_size=tok.shape[0],
         max_text_length=txt_pos.shape[0],

@@ -248,20 +248,32 @@ def attention(
         q = linear(p["q_proj"], x, _lora_get(lora, "q_proj"), dropout_rng=rng_for(0), **kw)
         k = linear(p["k_proj"], x, _lora_get(lora, "k_proj"), dropout_rng=rng_for(1), **kw)
         v = linear(p["v_proj"], x, _lora_get(lora, "v_proj"), dropout_rng=rng_for(2), **kw)
-    elif quantized:
-        # int8 fused QKV: one per-token activation quant feeds all three
-        # int8 dots (kernels and per-out-channel scales concatenated at trace
-        # time, hoisted by XLA like the float path's concat below)
-        from clip_lora_match_tpu.quant.int8 import int8_matmul
-
+    else:
         xc = x if compute_dtype is None else x.astype(compute_dtype)
-        wq = jnp.concatenate(
-            [p[n]["kernel_q"] for n in ("q_proj", "k_proj", "v_proj")], axis=1
-        )
-        ws = jnp.concatenate(
-            [p[n]["w_scale"] for n in ("q_proj", "k_proj", "v_proj")]
-        )
-        qkv = int8_matmul(xc, wq, ws)
+        if quantized:
+            # int8 fused QKV: one per-token activation quant feeds all three
+            # int8 dots (kernels and per-out-channel scales concatenated at
+            # trace time, hoisted by XLA like the float path's concat)
+            from clip_lora_match_tpu.quant.int8 import int8_matmul
+
+            wq = jnp.concatenate(
+                [p[n]["kernel_q"] for n in ("q_proj", "k_proj", "v_proj")],
+                axis=1,
+            )
+            ws = jnp.concatenate(
+                [p[n]["w_scale"] for n in ("q_proj", "k_proj", "v_proj")]
+            )
+            qkv = int8_matmul(xc, wq, ws)
+        else:
+            acc_dtype = jnp.float32 if compute_dtype is None else compute_dtype
+            w_qkv = jnp.concatenate(
+                [p["q_proj"]["kernel"], p["k_proj"]["kernel"], p["v_proj"]["kernel"]],
+                axis=1,
+            )
+            if compute_dtype is not None:
+                w_qkv = w_qkv.astype(compute_dtype)
+            qkv = jnp.dot(xc, w_qkv, preferred_element_type=acc_dtype)
+        # biases are optional per projection (same contract as linear())
         biases = [p[n].get("bias") for n in ("q_proj", "k_proj", "v_proj")]
         if any(b is not None for b in biases):
             parts = [
@@ -276,40 +288,6 @@ def attention(
                 delta = _lora_delta(
                     xc, lp, lora_scaling, lora_dropout, rng_for(idx)
                 ).astype(qkv.dtype)
-                if t == "q":
-                    q = q + delta
-                elif t == "k":
-                    k = k + delta
-                else:
-                    v = v + delta
-        q = q.astype(x.dtype)
-        k = k.astype(x.dtype)
-        v = v.astype(x.dtype)
-    else:
-        acc_dtype = jnp.float32 if compute_dtype is None else compute_dtype
-        xc = x if compute_dtype is None else x.astype(compute_dtype)
-        w_qkv = jnp.concatenate(
-            [p["q_proj"]["kernel"], p["k_proj"]["kernel"], p["v_proj"]["kernel"]],
-            axis=1,
-        )
-        if compute_dtype is not None:
-            w_qkv = w_qkv.astype(compute_dtype)
-        qkv = jnp.dot(xc, w_qkv, preferred_element_type=acc_dtype)
-        # biases are optional per projection (same contract as linear())
-        biases = [p[n].get("bias") for n in ("q_proj", "k_proj", "v_proj")]
-        if any(b is not None for b in biases):
-            parts = [
-                b if b is not None else jnp.zeros((D,), jnp.float32)
-                for b in biases
-            ]
-            qkv = qkv + jnp.concatenate(parts).astype(acc_dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        for name, idx, t in (("q_proj", 0, "q"), ("k_proj", 1, "k"), ("v_proj", 2, "v")):
-            lp = _lora_get(lora, name)
-            if lp is not None:
-                delta = _lora_delta(
-                    xc, lp, lora_scaling, lora_dropout, rng_for(idx)
-                ).astype(acc_dtype)
                 if t == "q":
                     q = q + delta
                 elif t == "k":

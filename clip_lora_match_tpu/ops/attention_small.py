@@ -66,7 +66,12 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads, head_dim, scale, s_v
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        oh = oh / jnp.sum(e, axis=-1, keepdims=True)
+        # max(., tiny): a fully-masked row (every logit ≤ -87) yields a ZERO
+        # context vector instead of NaN (the jnp path gives near-uniform
+        # attention there; no real query row is ever fully masked — causal
+        # rows keep their diagonal — but don't let padding rows poison
+        # downstream reductions)
+        oh = oh / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         o_ref[:, :, sl] = oh.astype(o_ref.dtype)
 
 
@@ -207,7 +212,9 @@ def attention_small(
 ) -> jnp.ndarray:
     """q, k, v: (B, S, H, hd) — the projection layout, untransposed.
     mask: optional additive bias broadcastable to (B, 1, S, S).
-    Returns (B, S, H, hd) context. Exact (fp32 softmax), differentiable.
+    Returns (B, S, H, hd) context, differentiable. Softmax is the max-free
+    fast form (see _kernel): identical to exact softmax for row logits in
+    (-87, 80); fully-masked rows return zeros rather than NaN.
     Intended for S ≤ ~128 where the whole sequence fits one VMEM block."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5

@@ -276,11 +276,12 @@ def topk_retrieve_twopass(
     )
 
 
-def _tilemax_kernel(q_ref, idx_ref, out_ref, *, tile, nt_valid, ntb):
+def _tilemax_kernel(q_ref, idx_ref, out_ref, *, tile):
     """One (q_block, n_block) step of pass 1: scores TRANSPOSED so the
     16-row tile grouping splits the SUBLANE dim (Mosaic supports that
     reshape; splitting lanes is not implemented), maxima transposed back in
-    VMEM, fully-padded tiles masked to -inf on the way out."""
+    VMEM. Every tile the grid touches holds tile-padded index rows; pad
+    over-ranking is absorbed by the caller's slack accounting."""
     scores_t = jax.lax.dot_general(
         idx_ref[...], q_ref[...],
         (((1,), (1,)), ((), ())),
@@ -288,17 +289,14 @@ def _tilemax_kernel(q_ref, idx_ref, out_ref, *, tile, nt_valid, ntb):
     )  # (BN, BQ)
     bn, bq = scores_t.shape
     m = jnp.max(scores_t.reshape(bn // tile, tile, bq), axis=1)  # (ntb, BQ)
-    i = pl.program_id(0)
-    tid = i * ntb + jax.lax.broadcasted_iota(jnp.int32, (1, ntb), 1)
-    out_ref[...] = jnp.where(tid < nt_valid, m.T, NEG_INF)
+    out_ref[...] = m.T
 
 
 _TILEMAX_VMEM = 12 * 1024 * 1024
 
 
 def _tilemax_pallas(
-    qc: jnp.ndarray, index: jnp.ndarray, tile: int, nt_valid: int,
-    interpret: bool,
+    qc: jnp.ndarray, index: jnp.ndarray, tile: int, interpret: bool
 ) -> jnp.ndarray:
     """Pass-1 tile maxima as a Pallas kernel: (Q, D)×(N, D) → (Q, ceil(N/tile)).
 
@@ -345,9 +343,7 @@ def _tilemax_pallas(
     main = None
     if n_main > 0:
         out = pl.pallas_call(
-            functools.partial(
-                _tilemax_kernel, tile=tile, nt_valid=nt_valid, ntb=ntb
-            ),
+            functools.partial(_tilemax_kernel, tile=tile),
             grid=(n_main // bn, qp // bq),
             in_specs=[
                 pl.BlockSpec((bq, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -367,9 +363,7 @@ def _tilemax_pallas(
             qc[:Q], tail, (((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).max(axis=2)
-        base = n_main // tile
-        col = base + jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
-        tail_max = jnp.where(col < nt_valid, ts, NEG_INF)
+        tail_max = ts
     return main, tail_max
 
 
@@ -402,7 +396,7 @@ def _topk_twopass_impl(
     idx3 = index.reshape(nt, tile, D)
 
     if pallas_pass1:
-        main, tail = _tilemax_pallas(qc, index, tile, nt, interpret)
+        main, tail = _tilemax_pallas(qc, index, tile, interpret)
         # pass 2 without ever concatenating tail onto the (Q, nt) main part
         # (that concat re-copies 256 MB at N=1M — measured 3-6 ms): select
         # candidate tiles from each part, merge on the tiny (Q, ~k_sel+128)

@@ -222,6 +222,16 @@ def test_arch_presets_resolve_from_model_name():
     assert cfg.arch.patch_size == 32  # B/32 fallback
 
 
+def test_preprocess_image_size_follows_arch():
+    """L/14-336 (or any non-224 geometry) must also retarget the
+    preprocessor, or the pos-embedding add fails on the first encode."""
+    from clip_lora_match_tpu.core.config import ClipConfig
+
+    cfg = ClipConfig(model_name="openai/clip-vit-large-patch14-336")
+    assert cfg.arch.image_size == 336
+    assert cfg.preprocess.image_size == 336
+
+
 def test_arch_yaml_override_block(tmp_path):
     from clip_lora_match_tpu.core.config import load_clip_config
 
