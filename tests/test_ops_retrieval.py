@@ -131,6 +131,40 @@ def test_twopass_pallas_pass1_matches_oracle(Q, N, D, dtype, n_valid):
         np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
 
 
+def test_twopass_fuzz_exactness():
+    """Randomized sweep over (N, Q, D, k, tile, n_valid) regimes — the slack
+    accounting and tail merge must stay EXACT for every combination."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(123)
+    for trial in range(10):
+        N = int(rng.integers(300, 6000))
+        Q = int(rng.integers(1, 20))
+        D = int(rng.choice([128, 256]))
+        k = int(rng.integers(1, 16))
+        tile = int(rng.choice([8, 16]))
+        use_nv = rng.random() < 0.4
+        nv = int(rng.integers(max(1, N - 200), N)) if use_nv else None
+        pallas = bool(rng.random() < 0.5)
+        idx = rng.normal(size=(N, D)).astype(np.float32)
+        idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+        qs = rng.normal(size=(Q, D)).astype(np.float32)
+        s, i = topk_retrieve_twopass(
+            jnp.asarray(qs), jnp.asarray(idx), k, tile=tile, n_valid=nv,
+            pallas_pass1=pallas, interpret=True,
+        )
+        ref = idx if nv is None else idx[:nv]
+        so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(ref), k)
+        cfg = dict(N=N, Q=Q, D=D, k=k, tile=tile, nv=nv, pallas=pallas)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(so), atol=1e-5, err_msg=str(cfg)
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(io), str(cfg))
+
+
 def test_twopass_k_clamp_and_bf16():
     from clip_lora_match_tpu.ops.retrieval_topk import (
         topk_retrieve_reference,
