@@ -103,11 +103,15 @@ def topk_retrieve(
     queries: jnp.ndarray,
     index: jnp.ndarray,
     k: int = 5,
-    block_q: int = 128,
+    block_q: int = 256,
     block_n: int = 1024,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k cosine retrieval.
+
+    block_q=256 re-measured on v5e (Q=256, N=40960): 649k qps vs 365k at
+    128 — a bigger query block halves how often the index streams through
+    VMEM. block_n=1024 beats 2048 at this bq; 4096 exceeds scoped VMEM.
 
     queries: (Q, D) — normalized IN-KERNEL (callers may pass raw embeddings).
     index:   (N, D) fp32 or bf16 — assumed L2-normalized (EmbeddingIndex
