@@ -25,6 +25,16 @@ def test_bucket_padding_invariance(tiny_encoder):  # noqa: F811
     np.testing.assert_allclose(small, big, atol=1e-5)
 
 
+def test_bucket_ladder_contains_v5e_sweet_spot():
+    """96 sits between 64 and 128 (the measured v5e image sweet spot);
+    _bucket rounds 65-96 to it instead of jumping to 128."""
+    from clip_lora_match_tpu.models.encoder import _BUCKETS, _bucket
+
+    assert 96 in _BUCKETS
+    assert _bucket(65) == 96 and _bucket(96) == 96 and _bucket(97) == 128
+    assert list(_BUCKETS) == sorted(_BUCKETS)
+
+
 def test_single_vs_batch_image(tiny_encoder, tmp_path):  # noqa: F811
     from PIL import Image
 
