@@ -103,15 +103,17 @@ def topk_retrieve(
     queries: jnp.ndarray,
     index: jnp.ndarray,
     k: int = 5,
-    block_q: int = 256,
+    block_q: int = 128,
     block_n: int = 1024,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k cosine retrieval.
 
-    block_q=256 re-measured on v5e (Q=256, N=40960): 649k qps vs 365k at
-    128 — a bigger query block halves how often the index streams through
-    VMEM. block_n=1024 beats 2048 at this bq; 4096 exceeds scoped VMEM.
+    Block defaults: one same-process sweep showed block_q=256 at 649k qps vs
+    365k for 128 (Q=256, N=40960), but repeat A/Bs through the relay spread
+    128 across 390k-1.5M (incl. physically impossible values) and could not
+    reproduce the gap, so the long-measured 128 stays; block_n=4096 exceeds
+    scoped VMEM.
 
     queries: (Q, D) — normalized IN-KERNEL (callers may pass raw embeddings).
     index:   (N, D) fp32 or bf16 — assumed L2-normalized (EmbeddingIndex
