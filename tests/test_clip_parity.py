@@ -232,6 +232,34 @@ def test_preprocess_image_size_follows_arch():
     assert cfg.preprocess.image_size == 336
 
 
+def test_non_224_geometry_encodes_end_to_end():
+    """A non-224 arch flows PIL → preprocessor → towers without shape
+    errors (the pos-embedding add is where a mismatch would explode)."""
+    from PIL import Image
+
+    from clip_lora_match_tpu.core.config import ClipConfig
+    from clip_lora_match_tpu.models.encoder import ClipEncoder
+
+    arch = ClipArchConfig(
+        image_size=96, patch_size=16, vision_width=64, vision_layers=2,
+        vision_heads=2, vision_mlp_dim=128, vocab_size=200,
+        max_text_length=12, text_width=64, text_layers=2, text_heads=2,
+        text_mlp_dim=128, projection_dim=32,
+    )
+    cfg = ClipConfig(arch=arch, use_pallas_kernels=False)
+    assert cfg.preprocess.image_size == 96
+    import jax
+
+    params = jclip.init_params(jax.random.PRNGKey(0), arch)
+    enc = ClipEncoder(params, arch=arch, config=cfg)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (130, 170, 3), dtype=np.uint8)
+    )
+    e = enc.encode_image(img)
+    assert e.shape == (32,)
+    assert np.isfinite(e).all()
+
+
 def test_arch_yaml_override_block(tmp_path):
     from clip_lora_match_tpu.core.config import load_clip_config
 
