@@ -51,6 +51,7 @@ def create_app(
     store: Optional[BaseStore] = None,
     data_dir: str = "data",
     index_path: Optional[str] = None,
+    use_batch_queue: bool = True,
 ):
     try:
         from fastapi import FastAPI, File, Form, HTTPException, UploadFile
@@ -63,6 +64,12 @@ def create_app(
         ) from e
 
     encoder = encoder or load_clip_model()
+    if use_batch_queue and finder is None and seeker is None:
+        # coalesce concurrent request encodes into one padded device batch
+        # (endpoints run in FastAPI's threadpool, so requests CAN overlap)
+        from clip_lora_match_tpu.services import QueuedEncoder
+
+        encoder = QueuedEncoder(encoder)
     store = store or open_store()
     index_path = index_path or os.path.join(data_dir, "index", "items_index.npz")
     if finder is None:
@@ -93,18 +100,31 @@ def create_app(
         app.mount("/static", StaticFiles(directory=data_dir), name="static")
 
     def _save_upload(upload) -> str:
-        suffix = os.path.splitext(upload.filename or "upload.jpg")[1] or ".jpg"
-        fd, tmp = tempfile.mkstemp(suffix=suffix)
-        with os.fdopen(fd, "wb") as f:
+        """Write the upload to a fresh temp DIR under its own (sanitized)
+        filename — the finder stores items under this basename, so the
+        original name survives like the reference's (ref:finder_service.py
+        dest_name = src.name) without its path-traversal exposure."""
+        name = os.path.basename(upload.filename or "") or "upload.jpg"
+        name = name.replace("..", "_") or "upload.jpg"
+        d = tempfile.mkdtemp(prefix="clm_upload_")
+        tmp = os.path.join(d, name)
+        with open(tmp, "wb") as f:
             shutil.copyfileobj(upload.file, f)
         return tmp
+
+    def _drop_upload(tmp: str) -> None:
+        os.unlink(tmp)
+        os.rmdir(os.path.dirname(tmp))
 
     @app.get("/health")
     def health_check():
         return {"status": "ok"}
 
+    # endpoints are plain ``def`` on purpose: FastAPI runs them in its
+    # threadpool, so a long encode cannot freeze the event loop (an
+    # ``async def`` here would serialize every request behind the TPU call)
     @app.post("/api/report", response_model=ReportItemResponse)
-    async def report_item(
+    def report_item(
         description: str = Form(...),
         location: Optional[str] = Form(None),
         reporter: Optional[str] = Form(None),
@@ -137,18 +157,21 @@ def create_app(
             log.exception("report failed")
             raise HTTPException(status_code=500, detail="Internal report error")
         finally:
-            os.unlink(tmp)
+            _drop_upload(tmp)
         return ReportItemResponse(
             id=result.item_id or result.index_row,
             image_path=result.stored_image_path,
-            description=description,
+            # wire parity: the reference echoes the location-joined full
+            # text it stored, not the raw form field (ref:finder_service.py
+            # returns db_item.description == full_text)
+            description=result.indexed_text,
             location=location,
             found_at=parsed_at,
             reporter=reporter,
         )
 
     @app.post("/api/search", response_model=SearchResponse)
-    async def search_items(
+    def search_items(
         description: Optional[str] = Form(None),
         image: Optional[UploadFile] = File(None),
         top_k: int = Form(5),
@@ -164,12 +187,19 @@ def create_app(
                 detail="Berikan description, image, atau keduanya.",
             )
         tmp = None
+        query_image_path = None
         if image is not None:
             if not (image.content_type or "").startswith("image/"):
                 raise HTTPException(
                     status_code=400, detail="File yang diupload harus gambar."
                 )
             tmp = _save_upload(image)
+            # keep the query image like the reference (ref:main.py:205-246
+            # saves to data/tmp/queries and returns the path in the response)
+            queries_dir = os.path.join(data_dir, "tmp", "queries")
+            os.makedirs(queries_dir, exist_ok=True)
+            query_image_path = os.path.join(queries_dir, os.path.basename(tmp))
+            shutil.copy2(tmp, query_image_path)
         try:
             results = seeker.search_items(
                 description=description, image_path=tmp, k=top_k
@@ -181,10 +211,10 @@ def create_app(
             raise HTTPException(status_code=500, detail="Internal search error")
         finally:
             if tmp:
-                os.unlink(tmp)
+                _drop_upload(tmp)
         return SearchResponse(
             query_text=description,
-            query_image_path=None,
+            query_image_path=query_image_path,
             results=[
                 SearchResultModel(
                     score=r.score,

@@ -119,29 +119,51 @@ def prefetch(
     it: Iterator[dict[str, np.ndarray]], depth: int = 2
 ) -> Iterator[dict[str, np.ndarray]]:
     """Run an iterator in a background thread with a bounded queue, so host
-    batch assembly overlaps device compute."""
+    batch assembly overlaps device compute.
+
+    Abandoning the generator early (break / exception in the consumer)
+    unblocks and stops the worker via the ``finally`` below — otherwise a
+    worker stuck in ``q.put`` would pin ``depth`` assembled batches per
+    abandoned epoch for the life of the process.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
-
+            # deliver the sentinel unless the consumer has abandoned us
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def train_val_iterators(

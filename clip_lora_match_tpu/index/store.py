@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import warnings
 from typing import Optional, Sequence
 
@@ -35,9 +36,13 @@ def _l2norm_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 
 
 # Donating the arena lets the row write reuse its buffer instead of copying
-# the whole arena per insert — true O(1) device append. (Safe: the previous
-# arena reference is dropped on assignment, and slices taken earlier are
-# independent buffers.)
+# the whole arena per insert — true O(1) device append. Donation INVALIDATES
+# the previous array object, so a concurrent reader that grabbed
+# ``index.embeddings`` just before the donation would dispatch against a
+# deleted buffer. Every arena reader/writer therefore synchronizes on
+# ``EmbeddingIndex.lock`` (an RLock: the finder's own write lock may already
+# be held), holding it from taking the reference through materializing
+# results.
 _arena_set_row = jax.jit(
     lambda arena, row, i: arena.at[i].set(row), donate_argnums=(0,)
 )
@@ -76,7 +81,9 @@ class EmbeddingIndex:
         arena = np.zeros((cap, self.dim), np.float32)
         arena[: self.size] = embeddings
         self._storage_dtype = jnp.dtype(storage_dtype)
-        # device-resident arena; queries slice [:size]
+        # device-resident arena; queries slice [:size]. ``lock`` guards the
+        # donation in append() against concurrent readers (see _arena_set_row)
+        self.lock = threading.RLock()
         self._arena = jnp.asarray(arena).astype(self._storage_dtype)
 
     def _warn_on_mismatch(self):
@@ -96,7 +103,8 @@ class EmbeddingIndex:
         return self._arena[: self.size]
 
     def embeddings_np(self) -> np.ndarray:
-        return np.asarray(self.embeddings.astype(jnp.float32))
+        with self.lock:
+            return np.asarray(self.embeddings.astype(jnp.float32))
 
     def metadata(self, i: int) -> tuple[Optional[str], Optional[str]]:
         """Safe metadata lookup (ref:search.py:104-105)."""
@@ -122,23 +130,24 @@ class EmbeddingIndex:
             raise ValueError(f"embedding dim {vec.shape[0]} != index dim {self.dim}")
         if normalize:
             vec = _l2norm_rows(vec[None])[0]
-        cap = self._arena.shape[0]
-        if self.size >= cap:
-            host = np.asarray(self._arena.astype(jnp.float32))
-            arena = np.zeros((max(2 * cap, 8), self.dim), np.float32)
-            arena[: self.size] = host[: self.size]
-            arena[self.size] = vec
-            self._arena = jnp.asarray(arena).astype(self._storage_dtype)
-        else:
-            self._arena = _arena_set_row(
-                self._arena,
-                jnp.asarray(vec).astype(self._storage_dtype),
-                jnp.asarray(self.size),
-            )
-        self.image_paths.append(image_path or "")
-        self.texts.append(text or "")
-        self.size += 1
-        return self.size - 1
+        with self.lock:
+            cap = self._arena.shape[0]
+            if self.size >= cap:
+                host = np.asarray(self._arena.astype(jnp.float32))
+                arena = np.zeros((max(2 * cap, 8), self.dim), np.float32)
+                arena[: self.size] = host[: self.size]
+                arena[self.size] = vec
+                self._arena = jnp.asarray(arena).astype(self._storage_dtype)
+            else:
+                self._arena = _arena_set_row(
+                    self._arena,
+                    jnp.asarray(vec).astype(self._storage_dtype),
+                    jnp.asarray(self.size),
+                )
+            self.image_paths.append(image_path or "")
+            self.texts.append(text or "")
+            self.size += 1
+            return self.size - 1
 
     # -- persistence -------------------------------------------------------------
 

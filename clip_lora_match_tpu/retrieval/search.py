@@ -68,7 +68,12 @@ class SearchIndex:
             )
         if len(self.index) == 0:
             return []
-        scores, idx = top_k_similar(q, self.index.embeddings, k, assume_normalized=True)
+        # hold the index lock through dispatch+materialization: an append's
+        # donated-buffer swap while we read would hand us a deleted array
+        with self.index.lock:
+            scores, idx = top_k_similar(
+                q, self.index.embeddings, k, assume_normalized=True
+            )
         results = []
         for s, i in zip(scores, idx):
             path, text = self.index.metadata(int(i))
@@ -100,7 +105,10 @@ class SearchIndex:
         queries = np.asarray(queries, np.float32)
         if len(self.index) == 0:
             return [[] for _ in range(queries.shape[0])]
-        scores, idx = top_k_similar(queries, self.index.embeddings, k, assume_normalized=True)
+        with self.index.lock:
+            scores, idx = top_k_similar(
+                queries, self.index.embeddings, k, assume_normalized=True
+            )
         out = []
         for qs, qi in zip(scores, idx):
             row = []

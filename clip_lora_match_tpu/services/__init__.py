@@ -1,6 +1,6 @@
 from clip_lora_match_tpu.services.finder import FinderConfig, FinderService, ReportResult
 from clip_lora_match_tpu.services.seeker import SeekerConfig, SeekerService
-from clip_lora_match_tpu.services.batch_queue import EncoderBatchQueue
+from clip_lora_match_tpu.services.batch_queue import EncoderBatchQueue, QueuedEncoder
 
 __all__ = [
     "FinderConfig",
@@ -9,4 +9,5 @@ __all__ = [
     "SeekerConfig",
     "SeekerService",
     "EncoderBatchQueue",
+    "QueuedEncoder",
 ]

@@ -47,6 +47,7 @@ class EncoderBatchQueue:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._closed = False
+        self._close_lock = threading.Lock()
         self._worker.start()
 
     # -- public API -----------------------------------------------------------
@@ -58,17 +59,30 @@ class EncoderBatchQueue:
         return self._submit("image", image).result()
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        # _close_lock makes closed-flag + sentinel atomic vs _submit: without
+        # it a request enqueued between the flag check and close()'s sentinel
+        # would sit in a queue nobody drains and its future never resolve
+        with self._close_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=5)
+        # fail any requests that raced past the worker's shutdown
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.future.set_exception(RuntimeError("queue closed"))
 
     # -- internals ------------------------------------------------------------
 
     def _submit(self, kind: str, payload) -> Future:
-        if self._closed:
-            raise RuntimeError("queue closed")
-        req = _Request(kind, payload, Future())
-        self._q.put(req)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("queue closed")
+            req = _Request(kind, payload, Future())
+            self._q.put(req)
         return req.future
 
     def _drain(self, first: _Request) -> list[_Request]:
@@ -113,3 +127,34 @@ class EncoderBatchQueue:
                     log.exception("batched %s encode failed", kind)
                     for r in reqs:
                         r.future.set_exception(e)
+
+
+class QueuedEncoder:
+    """Drop-in encoder facade that routes single-item text/image encodes
+    through an EncoderBatchQueue (so concurrent service calls coalesce into
+    one padded device batch) and everything else to the wrapped encoder.
+
+    This is what actually wires the queue into the serving path:
+    ``create_app(use_batch_queue=True)`` hands services a QueuedEncoder, and
+    finder/seeker keep calling plain ``encode_text``/``encode_image``.
+    """
+
+    def __init__(self, encoder: ClipEncoder, **queue_kwargs):
+        self._encoder = encoder
+        self.queue = EncoderBatchQueue(encoder, **queue_kwargs)
+
+    def encode_text(self, text, normalize: bool = True):
+        if isinstance(text, str) and normalize:
+            return self.queue.encode_text(text)
+        return self._encoder.encode_text(text, normalize=normalize)
+
+    def encode_image(self, image, normalize: bool = True):
+        if not isinstance(image, (list, tuple)) and normalize:
+            return self.queue.encode_image(image)
+        return self._encoder.encode_image(image, normalize=normalize)
+
+    def close(self) -> None:
+        self.queue.close()
+
+    def __getattr__(self, name):
+        return getattr(self._encoder, name)

@@ -6,7 +6,10 @@ Behavior parity with ref:src/embedding/finder_service.py:107-216:
   original, ref L155-156);
 - index the TEXT embedding of ``"{description}, ditemukan di {location}"``
   (NOT the image embedding — ref L158-163 quirk preserved);
-- persist the index and insert a DB row with rollback on failure.
+- insert the DB row, then append+persist the index (DB-first so any partial
+  failure is repairable by scripts/rebuild_index.py, which rebuilds the
+  index from the DB; the reference's index-first order leaves orphan index
+  rows when the DB insert fails, ref L171-204).
 
 TPU-native fixes over the reference:
 - the index row is appended to the device-resident arena (O(1) amortized)
@@ -110,31 +113,32 @@ class FinderService:
         )
         emb = self.encoder.encode_text(indexed_text)
 
-        # 4+5. serialized index append + persist + DB insert w/ rollback
+        # 4+5. serialized DB insert THEN index append + persist. DB-first
+        # keeps the pair self-healing: a failure between the two leaves a DB
+        # row without an index row, which scripts/rebuild_index.py repairs
+        # (it rebuilds the index FROM the DB). The reference's index-first
+        # order (ref L171-204) leaves permanent orphan index rows on DB
+        # failure, and client retries then duplicate them.
         with self._write_lock:
+            item_id = None
+            if self.store is not None:
+                # DB row parity (ref L187-199): the reference stores the
+                # location-joined full_text as description and defaults
+                # found_at to now() — NULL found_at would also perturb the
+                # ORDER BY found_at DESC listing in /api/items.
+                item_id = self.store.insert(
+                    FoundItem(
+                        id=None,
+                        image_path=dest,
+                        description=indexed_text,
+                        location=location,
+                        found_at=found_at or dt.datetime.now(),
+                        reporter=reporter,
+                    )
+                )
             row = self.index.append(emb, image_path=dest, text=indexed_text)
             if self.cfg.persist_every_insert:
                 self.index.save(self.cfg.index_path)
-            item_id = None
-            if self.store is not None:
-                try:
-                    # DB row parity (ref L187-199): the reference stores the
-                    # location-joined full_text as description and defaults
-                    # found_at to now() — NULL found_at would also perturb the
-                    # ORDER BY found_at DESC listing in /api/items.
-                    item_id = self.store.insert(
-                        FoundItem(
-                            id=None,
-                            image_path=dest,
-                            description=indexed_text,
-                            location=location,
-                            found_at=found_at or dt.datetime.now(),
-                            reporter=reporter,
-                        )
-                    )
-                except Exception:
-                    log.exception("DB insert failed; index row kept")
-                    raise
         log.info("reported item row=%d id=%s text=%r", row, item_id, indexed_text)
         return ReportResult(
             item_id=item_id,

@@ -116,6 +116,13 @@ class SeekerService:
     ) -> list[SearchResult]:
         """ref:seeker_service.py:159-186."""
         self._maybe_reload()
+        # explicit k=0 means "no results, thanks" — `k or default` would
+        # silently turn it into the default
+        k = self.cfg.top_k if k is None else k
+        if k < 0:
+            raise ValueError(f"top_k must be >= 0, got {k}")
+        if k == 0:
+            return []
         query = self._build_query_embedding(description, image_path)
         si = SearchIndex(self.index, self.encoder)
-        return si.search_with_embedding(query, k or self.cfg.top_k)
+        return si.search_with_embedding(query, k)

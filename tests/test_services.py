@@ -176,3 +176,114 @@ def test_open_store_sqlite_fallback(tmp_path):
     store.insert(FoundItem(None, "a.jpg", "desc"))
     assert len(store.all_items()) == 1
     store.close()
+
+
+def test_seeker_k_zero_and_negative(env):
+    paths, store, finder, seeker, tmp = env
+    finder.report_item(paths[0], description="tas pink", location="kantin")
+    assert seeker.search_items(description="tas", k=0) == []
+    with pytest.raises(ValueError):
+        seeker.search_items(description="tas", k=-1)
+
+
+def test_db_failure_leaves_no_orphan_index_row(env):
+    """DB-first write ordering: when the insert raises, the index must be
+    untouched — an orphan index row would surface in search results but not
+    /api/items, and client retries would duplicate it."""
+    paths, store, finder, seeker, tmp = env
+
+    class _BoomStore:
+        def insert(self, item):
+            raise RuntimeError("db down")
+
+    finder.store = _BoomStore()
+    before = len(finder.index)
+    with pytest.raises(RuntimeError):
+        finder.report_item(paths[0], description="dompet", location="aula")
+    assert len(finder.index) == before
+    # and the persisted file (if any) did not grow either
+    finder.store = store
+    r = finder.report_item(paths[0], description="dompet", location="aula")
+    assert r.item_id is not None and len(finder.index) == before + 1
+
+
+def test_concurrent_append_and_search_is_safe(env):
+    """The arena-donation append races readers without the index lock; this
+    hammers both sides and asserts no deleted-buffer error escapes."""
+    paths, store, finder, seeker, tmp = env
+    finder.report_item(paths[0], description="seed", location=None)
+    errors = []
+
+    def writer():
+        try:
+            for i in range(30):
+                finder.report_item(paths[i % 3], description=f"item {i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(60):
+                seeker.search_items(description="item", k=3)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(finder.index) == 31
+
+
+def test_queued_encoder_matches_direct(env, tiny_encoder):  # noqa: F811
+    from clip_lora_match_tpu.services import QueuedEncoder
+
+    paths, *_ = env
+    qe = QueuedEncoder(tiny_encoder, linger_ms=1.0)
+    try:
+        np.testing.assert_allclose(
+            qe.encode_text("tas pink"), tiny_encoder.encode_text("tas pink"),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            qe.encode_image(paths[0]), tiny_encoder.encode_image(paths[0]),
+            atol=1e-6,
+        )
+        # non-queued forms pass through unchanged
+        out = qe.encode_text(["a", "b"])
+        assert out.shape[0] == 2
+        assert qe.arch.projection_dim == tiny_encoder.arch.projection_dim
+    finally:
+        qe.close()
+    with pytest.raises(RuntimeError):
+        qe.encode_text("after close")
+
+
+def test_prefetch_stops_worker_on_early_exit():
+    import threading as _t
+
+    from clip_lora_match_tpu.data.dataset import prefetch
+
+    started = _t.active_count()
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.zeros((1,))}
+
+    it = prefetch(gen(), depth=2)
+    next(it)
+    it.close()  # abandon early → generator finally fires → worker stops
+    for _ in range(50):
+        if _t.active_count() <= started:
+            break
+        import time
+
+        time.sleep(0.05)
+    assert _t.active_count() <= started, "prefetch worker leaked"
+    assert len(produced) < 1000  # worker stopped early, not drained
