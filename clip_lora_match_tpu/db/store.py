@@ -190,8 +190,20 @@ def open_store(
     (but degrades to sqlite instead of hard-crashing when unset).
     """
     url = url_or_path or os.environ.get("DATABASE_URL")
-    if url and url.startswith(("postgres://", "postgresql://")):
-        return PostgresStore(dsn=url)
+    if url:
+        scheme = url.split("://", 1)[0].lower() if "://" in url else ""
+        # SQLAlchemy dialect URLs count too: postgresql+psycopg2://... etc.
+        if scheme.split("+", 1)[0] in ("postgres", "postgresql"):
+            return PostgresStore(dsn=url)
+        if scheme == "sqlite":
+            # sqlite:///relative.db or sqlite:////abs/path.db → file path
+            # (treating the URL as a literal path would mkdir "sqlite:")
+            path = url.split("://", 1)[1].lstrip("/")
+            if url.startswith("sqlite:////"):
+                path = "/" + path
+            return SqliteStore(path or ":memory:")
+        if scheme:
+            raise ValueError(f"unsupported DATABASE_URL scheme: {url!r}")
     if db_config_path and os.path.exists(db_config_path):
         from clip_lora_match_tpu.core.config import load_db_config
 

@@ -93,8 +93,9 @@ class CLIPEvaluator:
             imgs.append(self.encoder.encode_image(data.image_paths[start : start + B]))
             txts.append(self.encoder.encode_text(data.texts[start : start + B]))
             log.info("encoded %d/%d", min(start + B, len(data.texts)), len(data.texts))
-        img = np.concatenate(imgs) if imgs else np.zeros((0, 512), np.float32)
-        txt = np.concatenate(txts) if txts else np.zeros((0, 512), np.float32)
+        d = self.encoder.arch.projection_dim
+        img = np.concatenate(imgs) if imgs else np.zeros((0, d), np.float32)
+        txt = np.concatenate(txts) if txts else np.zeros((0, d), np.float32)
         return img, txt
 
     def evaluate(

@@ -127,6 +127,8 @@ def plot_embedding_space(
     rng = np.random.default_rng(seed)
     pick = rng.choice(image_embeds.shape[0], n, replace=False)
     joint = np.concatenate([image_embeds[pick], text_embeds[pick]])
+    if method not in ("tsne", "pca"):
+        raise ValueError(f"unknown projection method {method!r} (tsne|pca)")
     if method == "tsne":
         try:
             from sklearn.manifold import TSNE

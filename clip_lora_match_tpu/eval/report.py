@@ -32,7 +32,7 @@ def create_evaluation_report(
         row = " | ".join(f"{m.get(k, float('nan')):.4f}" for k in ks_metrics)
         lines.append(f"| {name} | {row} |")
     lines += ["", "---", "", "## 2. Best Models", ""]
-    for metric in ks_metrics:
+    for metric in ks_metrics if results else []:
         best = max(results.items(), key=lambda kv: kv[1].get(metric, -1))
         lines.append(f"- **{metric}**: {best[0]} ({best[1].get(metric, 0):.4f})")
     if improvements:

@@ -52,6 +52,11 @@ def initialize_distributed(
         )
         return True
     except Exception as e:
+        if coordinator_address or num_processes:
+            # explicit multi-host intent: silently degrading to single-host
+            # would split the job into independent trainers clobbering the
+            # same outputs — fail loudly instead
+            raise
         log.info("single-host mode (%s)", e)
         return False
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 from clip_lora_match_tpu.core.logging import get_logger
@@ -93,16 +94,21 @@ class NativeBPE:
             c_a, c_al, c_b, c_bl, len(a_bytes), unk_id,
         )
         self._out = (ctypes.c_int32 * 512)()
+        # one shared output buffer → concurrent encode_word calls would
+        # corrupt each other's token ids; the native call itself is
+        # re-entrant per handle, so a lock around buffer use suffices
+        self._out_lock = threading.Lock()
 
     def encode_word(self, byte_word: str) -> Optional[list[int]]:
-        """Byte-alphabet word → token ids, or None on overflow."""
+        """Byte-alphabet word → token ids, or None on overflow. Thread-safe."""
         data = byte_word.encode()
-        n = self._lib.clm_bpe_encode_word(
-            self._handle, data, len(data), self._out, len(self._out)
-        )
-        if n < 0:
-            return None
-        return list(self._out[:n])
+        with self._out_lock:
+            n = self._lib.clm_bpe_encode_word(
+                self._handle, data, len(data), self._out, len(self._out)
+            )
+            if n < 0:
+                return None
+            return list(self._out[:n])
 
     def __del__(self):
         try:

@@ -95,15 +95,20 @@ class CheckpointManager:
             payload = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-        except Exception:
+        except Exception as first_err:
             # checkpoint written under a different PRNG impl: the stored rng
             # buffer is (2,) threefry vs (4,) rbg (or vice versa) — retry
-            # with the other shape; _rng_from_np converts deterministically
+            # with the other shape; _rng_from_np converts deterministically.
+            # Any OTHER restore failure (corrupt file, opt-state structure
+            # drift) re-raises the original error, not the retry's.
             alt = 2 if template["rng"].size == 4 else 4
             template["rng"] = np.zeros(alt, np.uint32)
-            payload = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(template)
-            )
+            try:
+                payload = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(template)
+                )
+            except Exception:
+                raise first_err
             log.warning(
                 "checkpoint rng impl differs from current config; key "
                 "re-derived deterministically from stored data"

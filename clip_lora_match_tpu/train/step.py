@@ -56,8 +56,16 @@ def make_optimizer(
 
     Matches ref:train_lora.py:154-166 (AdamW lr 1e-4, wd 0.01, clip 1.0), with
     gradient_accumulation_steps folded in via optax.MultiSteps.
+
+    ``total_steps`` counts MICRO-batches (what the trainer iterates); the
+    schedule inside MultiSteps only ticks once per accumulation window, so
+    its horizon is total_steps / accumulation — matching the reference's
+    ceil(len(loader)/grad_accum) * epochs (ref:train_lora.py:156). Without
+    the division, warmup stretches accumulation× longer and the decay never
+    reaches zero.
     """
-    sched = warmup_linear_schedule(cfg.learning_rate, total_steps, cfg.warmup_ratio)
+    sched_steps = max(1, total_steps // max(1, cfg.gradient_accumulation_steps))
+    sched = warmup_linear_schedule(cfg.learning_rate, sched_steps, cfg.warmup_ratio)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay),

@@ -120,8 +120,8 @@ def train(
     # process may have enabled them; the step traces below must not.
     from clip_lora_match_tpu.nn.layers import set_kernel_flags
 
-    set_kernel_flags(fused_lora=False, flash_attention=False,
-                     small_attention=False)
+    prev_flags = set_kernel_flags(fused_lora=False, flash_attention=False,
+                                  small_attention=False)
 
     rng_impl = train_cfg.dropout_rng_impl or (
         "rbg" if jax.default_backend() == "tpu" else None
@@ -168,6 +168,26 @@ def train(
 
     result = TrainResult(output_dir=train_cfg.output_dir)
     t0 = time.time()
+    try:
+        _run_epochs(
+            result, state, train_step, eval_step, train_ds, val_ds,
+            train_cfg, lora_cfg, steps_per_epoch, max_steps_per_epoch,
+            place_batch, metrics, ckpt, start_epoch, t0,
+        )
+    finally:
+        # restore whatever dispatch an encoder in this process had set up —
+        # otherwise every post-training encode retraces onto the slow paths
+        set_kernel_flags(**prev_flags)
+        ckpt.close()
+        metrics.close()
+    return result
+
+
+def _run_epochs(
+    result, state, train_step, eval_step, train_ds, val_ds, train_cfg,
+    lora_cfg, steps_per_epoch, max_steps_per_epoch, place_batch, metrics,
+    ckpt, start_epoch, t0,
+):
     for epoch in range(start_epoch, train_cfg.num_epochs):
         it = prefetch(
             batch_iterator(
@@ -202,6 +222,12 @@ def train(
         result.train_losses.extend(float(p["loss"]) for p in pending)
 
         # per-epoch validation loss (ref:train_lora.py:214-241)
+        if val_ds is not None and len(val_ds) < train_cfg.batch_size:
+            log.warning(
+                "val set (%d rows) smaller than batch_size %d; skipping "
+                "per-epoch validation (drop-last batching needs one full "
+                "batch)", len(val_ds), train_cfg.batch_size,
+            )
         if val_ds is not None and len(val_ds) >= train_cfg.batch_size:
             vlosses = [
                 float(eval_step(state.lora, place_batch(b)))
@@ -221,7 +247,4 @@ def train(
         ckpt.save(int(state.step), state, epoch + 1)
         result.epochs = epoch + 1
 
-    ckpt.close()
-    metrics.close()
     result.final_lora = jax.device_get(state.lora)
-    return result

@@ -287,3 +287,42 @@ def test_prefetch_stops_worker_on_early_exit():
         time.sleep(0.05)
     assert _t.active_count() <= started, "prefetch worker leaked"
     assert len(produced) < 1000  # worker stopped early, not drained
+
+
+def test_open_store_parses_database_urls(tmp_path, monkeypatch):
+    """sqlite:/// URLs resolve to the FILE path (not a literal 'sqlite:'
+    directory), dialect-qualified postgres URLs route to postgres (psycopg2
+    absent here -> ImportError, proving the routing), and unknown schemes
+    fail loudly instead of silently becoming sqlite files."""
+    from clip_lora_match_tpu.db.store import open_store
+
+    db = tmp_path / "app.db"
+    store = open_store(f"sqlite:///{db}")
+    store.insert(FoundItem(None, "a.jpg", "desc"))
+    assert db.exists() and not (tmp_path / "sqlite:").exists()
+    store.close()
+
+    with pytest.raises((ImportError, Exception)) as ei:
+        open_store("postgresql+psycopg2://u:p@localhost/nope")
+    assert not isinstance(ei.value, ValueError)  # routed to postgres, not rejected
+
+    with pytest.raises(ValueError):
+        open_store("mysql://localhost/db")
+
+
+def test_optimizer_schedule_horizon_with_grad_accum():
+    """The LR schedule ticks once per accumulation window, so its horizon
+    must be micro-steps / accumulation — otherwise warmup stretches 4x and
+    the decay never reaches zero (reference divides the same way,
+    ref:scripts/train_lora.py:156)."""
+    from clip_lora_match_tpu.core.config import TrainingConfig
+    from clip_lora_match_tpu.train.step import make_optimizer
+
+    micro_steps = 400
+    cfg = TrainingConfig(gradient_accumulation_steps=4, learning_rate=1e-3)
+    _, sched = make_optimizer(cfg, micro_steps)
+    inner_steps = micro_steps // 4
+    # end of the inner-step horizon decays to ~0
+    assert float(sched(inner_steps)) < 1e-5
+    # without the fix, the schedule at inner_steps sat at ~75% of base lr
+    assert float(sched(inner_steps // 2)) > 1e-4
