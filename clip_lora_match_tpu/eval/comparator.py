@@ -89,6 +89,23 @@ class ModelComparator:
         }
 
     @staticmethod
+    def epoch_over_epoch(results: dict) -> dict:
+        """Improvement % of each LoRA epoch vs the PREVIOUS epoch.
+
+        Percent-vs-base is meaningless when the base scores chance (a
+        random-init base at recall@1 ≈ 1/N turns any real lift into
+        +10⁵% noise); epoch-over-epoch lift is the honest trajectory
+        measure. Keys are ``"<name> vs <prev short name>"``."""
+        epochs = [
+            (name, m) for name, m in results.items() if name != BASE_NAME
+        ]
+        out = {}
+        for (prev_name, prev_m), (name, m) in zip(epochs, epochs[1:]):
+            short_prev = prev_name.split("(")[-1].rstrip(")")
+            out[f"{name} vs {short_prev}"] = relative_improvement(prev_m, m)
+        return out
+
+    @staticmethod
     def save_json(results: dict, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:

@@ -14,6 +14,7 @@ def create_evaluation_report(
     results: dict,
     out_path: str,
     improvements: Optional[dict] = None,
+    improvements_title: str = "Improvement vs Base",
 ) -> str:
     ks_metrics = ["recall@1", "recall@5", "recall@10", "mrr", "map", "matching_accuracy"]
     lines = [
@@ -36,7 +37,7 @@ def create_evaluation_report(
         best = max(results.items(), key=lambda kv: kv[1].get(metric, -1))
         lines.append(f"- **{metric}**: {best[0]} ({best[1].get(metric, 0):.4f})")
     if improvements:
-        lines += ["", "---", "", "## 3. Improvement vs Base", ""]
+        lines += ["", "---", "", f"## 3. {improvements_title}", ""]
         for name, imp in improvements.items():
             lines.append(f"### {name}")
             for metric in ks_metrics:
@@ -51,16 +52,21 @@ def create_evaluation_report(
             non_base.items(), key=lambda kv: kv[1].get("recall@1", 0)
         )
         base_r1 = results[BASE_NAME].get("recall@1", 0)
-        lift = (
-            (best_m.get("recall@1", 0) - base_r1) / base_r1 * 100 if base_r1 else 0.0
+        best_r1 = best_m.get("recall@1", 0)
+        lift = (best_r1 - base_r1) / base_r1 * 100 if base_r1 else 0.0
+        # quote percent-vs-base only when the base is meaningfully above
+        # chance — against a random-init base the ratio is pure noise, so
+        # cite the absolute recall instead
+        vs = (
+            f"recall@1 {lift:+.0f}% vs base"
+            if base_r1 >= 0.01
+            else f"recall@1 {best_r1:.4f} vs a chance-level base ({base_r1:.4f})"
         )
-        if lift > 10:
+        if best_r1 > base_r1 * 1.1 and best_r1 > base_r1 + 0.005:
+            lines.append(f"- Deploy **{best_name}** ({vs}).")
+        elif best_r1 > base_r1:
             lines.append(
-                f"- Deploy **{best_name}** (recall@1 {lift:+.0f}% vs base)."
-            )
-        elif lift > 0:
-            lines.append(
-                f"- **{best_name}** improves recall@1 by {lift:+.1f}%; consider "
+                f"- **{best_name}** improves recall@1 ({vs}); consider "
                 "more training epochs or data."
             )
         else:

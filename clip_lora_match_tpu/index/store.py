@@ -151,17 +151,29 @@ class EmbeddingIndex:
 
     # -- persistence -------------------------------------------------------------
 
+    def _snapshot(self) -> tuple[np.ndarray, list, list]:
+        """Atomic (embeddings, image_paths, texts) snapshot: holding the lock
+        across all three reads keeps a concurrent append() from skewing the
+        sidecar row count vs the embedding matrix."""
+        with self.lock:
+            return (
+                np.asarray(self.embeddings.astype(jnp.float32)),
+                list(self.image_paths),
+                list(self.texts),
+            )
+
     def save(self, path: str) -> None:
         """Save as native .npz (embeddings) + .json sidecar, or legacy .pt."""
         if path.endswith(".pt"):
             self._save_pt(path)
             return
+        emb, image_paths, texts = self._snapshot()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez(path, embeddings=self.embeddings_np())
+        np.savez(path, embeddings=emb)
         side = path[:-4] if path.endswith(".npz") else path
         with open(side + ".json", "w") as f:
             json.dump(
-                {"image_paths": self.image_paths, "texts": self.texts}, f,
+                {"image_paths": image_paths, "texts": texts}, f,
                 ensure_ascii=False,
             )
 
@@ -169,12 +181,13 @@ class EmbeddingIndex:
         """Legacy torch dict format, plural keys like ref:finder_service.py:93-103."""
         import torch
 
+        emb, image_paths, texts = self._snapshot()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         torch.save(
             {
-                "embeddings": torch.from_numpy(self.embeddings_np().copy()),
-                "image_paths": list(self.image_paths),
-                "texts": list(self.texts),
+                "embeddings": torch.from_numpy(emb.copy()),
+                "image_paths": image_paths,
+                "texts": texts,
             },
             path,
         )

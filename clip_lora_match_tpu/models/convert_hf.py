@@ -65,17 +65,35 @@ def _blocks(sd: Mapping, prefix: str, n_layers: int) -> Params:
     return stack_blocks(blocks)
 
 
-def infer_arch_from_state_dict(sd: Mapping) -> ClipArchConfig:
+def infer_arch_from_state_dict(
+    sd: Mapping,
+    vision_heads: int | None = None,
+    text_heads: int | None = None,
+) -> ClipArchConfig:
     """Derive the full ClipArchConfig from an HF CLIPModel state_dict, so any
     CLIP checkpoint (B/32, B/16, L/14, custom) self-describes — no manual
     geometry bookkeeping (the reference delegated this to the HF hub,
     ref:models/clip_model.py:44-60).
 
-    Head counts are not recoverable from tensor shapes; they follow OpenAI's
-    fixed 64-dim-per-head convention (ViT-B: 768/64=12, ViT-L: 1024/64=16,
-    text 512/64=8 … matching every released CLIP).
+    Head counts are NOT recoverable from tensor shapes. Pass ``vision_heads``
+    / ``text_heads`` explicitly (e.g. from the HF config's
+    ``num_attention_heads``) when available; otherwise they default to
+    OpenAI's fixed 64-dim-per-head convention (ViT-B: 768/64=12,
+    ViT-L: 1024/64=16, text 512/64=8 … matching every released CLIP) and a
+    loud warning records that the grouping was inferred — a checkpoint with a
+    non-64-dim head would otherwise convert silently to wrong embeddings.
     """
     import re
+    import warnings
+
+    if vision_heads is None or text_heads is None:
+        warnings.warn(
+            "infer_arch_from_state_dict: head counts inferred by the "
+            "64-dim-per-head convention (not recoverable from shapes). If "
+            "this checkpoint's num_attention_heads differs, pass "
+            "vision_heads/text_heads explicitly from its HF config.",
+            stacklevel=2,
+        )
 
     patch_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
     vw, _, ph, _ = patch_w.shape
@@ -94,13 +112,13 @@ def infer_arch_from_state_dict(sd: Mapping) -> ClipArchConfig:
         patch_size=ph,
         vision_width=vw,
         vision_layers=n_layers("vision_model"),
-        vision_heads=max(1, vw // 64),
+        vision_heads=vision_heads if vision_heads is not None else max(1, vw // 64),
         vision_mlp_dim=_np(sd["vision_model.encoder.layers.0.mlp.fc1.weight"]).shape[0],
         vocab_size=tok.shape[0],
         max_text_length=txt_pos.shape[0],
         text_width=tok.shape[1],
         text_layers=n_layers("text_model"),
-        text_heads=max(1, tok.shape[1] // 64),
+        text_heads=text_heads if text_heads is not None else max(1, tok.shape[1] // 64),
         text_mlp_dim=_np(sd["text_model.encoder.layers.0.mlp.fc1.weight"]).shape[0],
         projection_dim=_np(sd["text_projection.weight"]).shape[0],
     )
@@ -143,5 +161,14 @@ def convert_hf_clip_state_dict(
 
 
 def convert_hf_clip_model(model, arch: ClipArchConfig | None = None) -> Params:
-    """Convenience: HF CLIPModel instance → pytree."""
+    """Convenience: HF CLIPModel instance → pytree. Unlike the raw
+    state_dict path, the model instance carries its config, so head counts
+    come from ``num_attention_heads`` — no convention-based inference."""
+    if arch is None:
+        cfg = getattr(model, "config", None)
+        vh = getattr(getattr(cfg, "vision_config", None), "num_attention_heads", None)
+        th = getattr(getattr(cfg, "text_config", None), "num_attention_heads", None)
+        arch = infer_arch_from_state_dict(
+            model.state_dict(), vision_heads=vh, text_heads=th
+        )
     return convert_hf_clip_state_dict(model.state_dict(), arch)

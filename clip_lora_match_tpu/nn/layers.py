@@ -303,6 +303,12 @@ def attention(
     vh = v.reshape(B, S, H, hd)
 
     if _KERNEL_FLAGS["small_attention"] and S <= SMALL_ATTN_MAX_SEQ:
+        # NOTE: the small-attention kernel's max-free softmax assumes row
+        # logits < 80 (exact softmax within that range; ≥80 logits clip
+        # equal → uniform instead of near-one-hot attention). CLIP towers'
+        # logits are empirically O(10); interpret/test mode asserts the
+        # bound (ops/attention_small.py). Callers with exotic weights
+        # should disable via set_kernel_flags(small_attention=False).
         from clip_lora_match_tpu.ops.attention_small import attention_small
 
         out = attention_small(

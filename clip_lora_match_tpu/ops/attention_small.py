@@ -112,6 +112,30 @@ def _attention_small_impl(
             x = jnp.pad(x, pads)
         return x
 
+    if interpret:
+        # test-mode guard for the max-free softmax's logit<80 assumption
+        # (see _kernel docstring): interpret mode runs in every kernel test,
+        # so a workload whose logits approach the clip fails loudly there
+        # instead of silently flattening attention on device
+        smax = jnp.max(
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            + (mask.astype(jnp.float32) if mask is not None else 0.0)
+        )
+
+        def _check_bound(m):
+            if np.isfinite(m) and m >= 80.0:
+                raise FloatingPointError(
+                    f"attention_small: max logit {m:.1f} >= 80 violates the "
+                    "max-free softmax bound; use exact attention "
+                    "(set_kernel_flags(small_attention=False)) for these "
+                    "weights"
+                )
+
+        jax.debug.callback(_check_bound, smax)
+
     qp, kp, vp = prep(q), prep(k), prep(v)
 
     in_specs = [

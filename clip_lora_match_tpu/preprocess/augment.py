@@ -2,10 +2,12 @@
 
 Same augmentation *distribution* as the reference's ``ImageAugmenter``
 (ref:src/preprocessing/augment.py:36-69): horizontal flip p=0.5, rotation
-p=0.3 uniform ±15° with expand, brightness and contrast jitter p=0.3 each in
-[0.8, 1.2] — but driven by an explicit ``numpy.random.Generator`` so the host
-input pipeline is deterministically seedable per step (the reference used the
-global ``random`` module).
+p=0.3 uniform ±15° with expand, and a SINGLE jitter roll p=0.3 that applies
+BOTH brightness and contrast factors drawn independently from [0.8, 1.2]
+(ref:augment.py:57-67 rolls once and enhances twice) — but driven by an
+explicit ``numpy.random.Generator`` so the host input pipeline is
+deterministically seedable per step (the reference used the global ``random``
+module).
 
 Rotation-with-expand changes the image size pre-resize; that is fine here
 because augmentation runs on the host BEFORE the resize/center-crop stage
@@ -48,8 +50,10 @@ class ImageAugmenter:
             angle = rng.uniform(-self.max_rotate_deg, self.max_rotate_deg)
             img = img.rotate(angle, expand=True, resample=Image.Resampling.BILINEAR)
         if rng.random() < self.jitter_p:
+            # one roll gates BOTH enhancements (ref:augment.py:57-67): never
+            # brightness-only or contrast-only, matching the reference's
+            # joint color-jitter distribution
             img = ImageEnhance.Brightness(img).enhance(rng.uniform(*self.jitter_range))
-        if rng.random() < self.jitter_p:
             img = ImageEnhance.Contrast(img).enhance(rng.uniform(*self.jitter_range))
         return img
 

@@ -67,11 +67,13 @@ def main():
             method=cfg.embedding_viz_method,
         )
 
-    # 4. report
+    # 4. report — epoch-over-epoch lift, not vs the (chance-level when
+    # random-init) base: percent-vs-chance is noise
     report = create_evaluation_report(
         results,
         os.path.join(cfg.results_dir, "evaluation_report.md"),
-        ModelComparator.summary(results),
+        ModelComparator.epoch_over_epoch(results),
+        improvements_title="Improvement (epoch over epoch)",
     )
     print(f"[run_all_evaluations] report: {report}")
 

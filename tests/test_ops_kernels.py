@@ -235,6 +235,27 @@ def test_attention_small_matches_oracle(B, S, H, hd, with_mask):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_attention_small_interpret_guards_logit_bound():
+    """Interpret mode asserts the max-free softmax's logit<80 assumption:
+    feeding logits that reach the clip must raise, not silently flatten."""
+    import jax
+
+    from clip_lora_match_tpu.ops.attention_small import attention_small
+
+    rng = np.random.default_rng(0)
+    # scale=1 with 30x q,k magnitudes pushes logits way past 80
+    q = jnp.asarray(30 * rng.normal(size=(1, 16, 1, 64)).astype(np.float32))
+    k = jnp.asarray(30 * rng.normal(size=(1, 16, 1, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 16, 1, 64)).astype(np.float32))
+    with pytest.raises(Exception, match="max-free softmax bound"):
+        jax.block_until_ready(
+            attention_small(q, k, v, scale=1.0, interpret=True)
+        )
+    # in-bound logits still pass the guard
+    out = attention_small(q / 30, k / 30, v, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_attention_small_grad_matches_oracle():
     import jax
 

@@ -77,6 +77,35 @@ def test_augmenter_deterministic_and_distribution():
     assert np.array_equal(np.asarray(ident.augment(img)), np.asarray(img))
 
 
+def test_augmenter_jitter_single_roll():
+    """Brightness and contrast are gated by ONE roll (ref:augment.py:57-67):
+    either both apply or neither — never brightness-only.
+
+    With independent rolls P(exactly-one) would be 2·0.3·0.7 = 0.42; with the
+    reference's joint roll it is 0. Detect via RNG draw count: each call must
+    consume exactly 1 draw (gate) when it misses or 3 draws (gate + two
+    factors) when it hits — 2 draws would mean an independent second gate."""
+    aug = ImageAugmenter(hflip_p=0, rotate_p=0, jitter_p=0.3, seed=11)
+    rng = np.random.default_rng(5)
+    img = _random_img(rng, 32, 32)
+    shadow = np.random.default_rng(11)  # replica of aug.rng
+    hits = 0
+    for _ in range(200):
+        shadow.random()  # hflip gate (consumed even at p=0)
+        shadow.random()  # rotate gate
+        gate = shadow.random()  # jitter gate
+        changed = not np.array_equal(np.asarray(aug.augment(img)), np.asarray(img))
+        if gate < 0.3:
+            hits += 1
+            shadow.uniform(0.8, 1.2)  # brightness factor
+            shadow.uniform(0.8, 1.2)  # contrast factor
+        else:
+            assert not changed
+        # resync check: a 2-draw hit (independent second gate) would desync here
+        assert aug.rng.random() == shadow.random()
+    assert 30 <= hits <= 90  # ~0.3·200
+
+
 def test_custom_config_size():
     cfg = PreprocessConfig(image_size=96)
     rng = np.random.default_rng(4)
