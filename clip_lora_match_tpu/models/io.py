@@ -22,6 +22,12 @@ def flatten_params(tree: Params, prefix: str = "") -> dict[str, np.ndarray]:
     if isinstance(tree, dict):
         for k, v in tree.items():
             flat.update(flatten_params(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        # lists flatten under numbered keys; unflatten_params restores them
+        # as {"0": ..} dicts — consumers with list-shaped trees (YOLO c2f
+        # "m", head "levels"/"cv2"/"cv3") normalize via sorted-int access
+        for i, v in enumerate(tree):
+            flat.update(flatten_params(v, f"{prefix}{i}{_SEP}"))
     else:
         flat[prefix.rstrip(_SEP)] = np.asarray(tree)
     return flat

@@ -118,23 +118,51 @@ class YoloCropper:
         return results
 
 
+# default weight locations probed in order when the config's weights_path is
+# absent: the synthetic-corpus-trained checkpoints committed by
+# scripts/train_yolo.py (the zero-egress stand-in for the reference's
+# downloaded yolov8s, ref:models/yolo_model.py:20-39)
+DEFAULT_WEIGHT_PATHS = (
+    "models/yolo_synth/yolov8s_synth.npz",
+    "models/yolo_synth/yolov8n_synth.npz",
+)
+
+
+def _repo_relative(path: str) -> str:
+    """Resolve a default weight path against the package's repo root too, so
+    croppers constructed from other working directories still find the
+    committed weights."""
+    if os.path.exists(path):
+        return path
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    return os.path.join(root, path)
+
+
 def load_yolo_cropper(
     config_path: Optional[str] = None,
     weights_path: Optional[str] = None,
 ) -> YoloCropper:
-    """Build a cropper; loads the JAX YOLOv8 detector when weights exist,
-    otherwise a NullDetector (full-image fallback path, like the reference
-    running with YOLO disabled)."""
+    """Build a cropper; loads the JAX YOLOv8 detector from the first
+    available weights (explicit arg → config path → committed synthetic
+    checkpoints), else a NullDetector (full-image fallback path, like the
+    reference running with YOLO disabled)."""
     cfg = load_yolo_config(config_path)
-    weights = weights_path or cfg.weights_path
+    candidates = [weights_path or cfg.weights_path]
+    candidates += [_repo_relative(p) for p in DEFAULT_WEIGHT_PATHS]
     detector: Detector = NullDetector()
-    if weights and os.path.exists(weights):
-        try:
-            from clip_lora_match_tpu.models.yolo.yolov8 import load_detector
+    for weights in candidates:
+        if weights and os.path.exists(weights):
+            try:
+                from clip_lora_match_tpu.models.yolo.yolov8 import load_detector
 
-            detector = load_detector(weights, cfg)
-        except Exception as e:
-            log.warning("YOLO weights load failed (%s); NullDetector fallback", e)
+                detector = load_detector(weights, cfg)
+                log.info("YOLO detector loaded from %s", weights)
+                break
+            except Exception as e:
+                log.warning("YOLO weights load failed at %s (%s)", weights, e)
     else:
-        log.info("no YOLO weights at %s; NullDetector (full-image crops)", weights)
+        log.info(
+            "no YOLO weights at %s; NullDetector (full-image crops)", candidates
+        )
     return YoloCropper(detector, cfg)

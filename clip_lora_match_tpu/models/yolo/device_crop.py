@@ -72,7 +72,10 @@ def crop_resize_normalize(
     return (jnp.clip(crops, 0.0, 1.0) - mean) / std
 
 
-def crop_embed_pipeline(detector, encoder, image, k_best: int = 1):
+def crop_embed_pipeline(
+    detector, encoder, image, k_best: int = 1,
+    conf: float = 0.25, iou: float = 0.45,
+):
     """Two-stage serving fast path: detect → device crop → CLIP embed.
 
     image: PIL image. Returns (embeddings (n, D), detections list) where n =
@@ -84,7 +87,7 @@ def crop_embed_pipeline(detector, encoder, image, k_best: int = 1):
     from clip_lora_match_tpu.preprocess.image import preprocess_pil
 
     dets = detector.detect(
-        image, conf=0.25, iou=0.45, max_det=max(k_best, 1)
+        image, conf=conf, iou=iou, max_det=max(k_best, 1)
     )
     if not dets:
         pix = preprocess_pil(image, image_size=encoder.arch.image_size)

@@ -21,6 +21,7 @@ real yolov8s weights drop in without the ultralytics package.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -79,13 +80,22 @@ def bottleneck(p: Params, x: jnp.ndarray, shortcut: bool) -> jnp.ndarray:
     return x + y if shortcut else y
 
 
+def _mlist(p: Params) -> list:
+    """Bottleneck list; tolerates the numbered-dict form produced by
+    round-tripping through models/io flat .npz archives."""
+    m = p["m"]
+    if isinstance(m, dict):
+        return [m[k] for k in sorted(m, key=int)]
+    return m
+
+
 def c2f(p: Params, x: jnp.ndarray, shortcut: bool) -> jnp.ndarray:
     """Cross-stage partial with n bottlenecks; splits cv1 output in two and
     concatenates every intermediate."""
     y = conv(p["cv1"], x)
     a, b = jnp.split(y, 2, axis=-1)
     outs = [a, b]
-    for bp in p["m"]:
+    for bp in _mlist(p):
         outs.append(bottleneck(bp, outs[-1], shortcut))
     return conv(p["cv2"], jnp.concatenate(outs, axis=-1))
 
@@ -109,15 +119,20 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 def detect_head(p: Params, feats: Sequence[jnp.ndarray]) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
     """Per level: (reg (B,H,W,4*REG_MAX), cls (B,H,W,NC)) raw outputs."""
+    levels = p["levels"]
+    if isinstance(levels, dict):  # npz round-trip form
+        levels = [levels[k] for k in sorted(levels, key=int)]
     outs = []
     for level, x in enumerate(feats):
-        pl = p["levels"][level]
-        reg = conv_plain(
-            pl["cv2"][2], conv(pl["cv2"][1], conv(pl["cv2"][0], x))
-        )
-        cls = conv_plain(
-            pl["cv3"][2], conv(pl["cv3"][1], conv(pl["cv3"][0], x))
-        )
+        pl = levels[level]
+        cv2 = pl["cv2"] if not isinstance(pl["cv2"], dict) else [
+            pl["cv2"][k] for k in sorted(pl["cv2"], key=int)
+        ]
+        cv3 = pl["cv3"] if not isinstance(pl["cv3"], dict) else [
+            pl["cv3"][k] for k in sorted(pl["cv3"], key=int)
+        ]
+        reg = conv_plain(cv2[2], conv(cv2[1], conv(cv2[0], x)))
+        cls = conv_plain(cv3[2], conv(cv3[1], conv(cv3[0], x)))
         outs.append((reg, cls))
     return outs
 
@@ -207,36 +222,53 @@ def _init_c2f(key, cin, cout, n):
     }
 
 
-def init_params(key: jax.Array) -> Params:
-    """Random-init YOLOv8-s param tree (exact -s channel plan)."""
+# width plan for the -n scale (width_mult 0.25 vs -s 0.50); same depth plan.
+# An honest scaled VARIANT of the same architecture for the synthetic-corpus
+# detector (ref runs -s; -n capacity is ample for the 10-class shape corpus
+# and keeps the committed weights small)
+WIDTHS_N = {"P1": 16, "P2": 32, "P3": 64, "P4": 128, "P5": 256}
+
+
+def init_params(
+    key: jax.Array,
+    widths: Optional[dict] = None,
+    depths: Optional[dict] = None,
+    num_classes: int = NUM_CLASSES,
+) -> Params:
+    """Random-init YOLOv8 param tree. Defaults to the exact -s channel plan;
+    pass ``widths=WIDTHS_N`` / ``num_classes=10`` for the synthetic-corpus
+    variant. ``forward`` is shape-agnostic (reads all geometry from the
+    param tree), so any consistent plan works."""
     ks = iter(jax.random.split(key, 64))
-    W = WIDTHS
+    W = dict(widths or WIDTHS)
+    DEPTHS_ = dict(depths or DEPTHS)
     backbone = {
         "0": _init_conv(next(ks), 3, 3, W["P1"]),
         "1": _init_conv(next(ks), 3, W["P1"], W["P2"]),
-        "2": _init_c2f(next(ks), W["P2"], W["P2"], DEPTHS["c2f_2"]),
+        "2": _init_c2f(next(ks), W["P2"], W["P2"], DEPTHS_["c2f_2"]),
         "3": _init_conv(next(ks), 3, W["P2"], W["P3"]),
-        "4": _init_c2f(next(ks), W["P3"], W["P3"], DEPTHS["c2f_4"]),
+        "4": _init_c2f(next(ks), W["P3"], W["P3"], DEPTHS_["c2f_4"]),
         "5": _init_conv(next(ks), 3, W["P3"], W["P4"]),
-        "6": _init_c2f(next(ks), W["P4"], W["P4"], DEPTHS["c2f_6"]),
+        "6": _init_c2f(next(ks), W["P4"], W["P4"], DEPTHS_["c2f_6"]),
         "7": _init_conv(next(ks), 3, W["P4"], W["P5"]),
-        "8": _init_c2f(next(ks), W["P5"], W["P5"], DEPTHS["c2f_8"]),
+        "8": _init_c2f(next(ks), W["P5"], W["P5"], DEPTHS_["c2f_8"]),
         "9": {
             "cv1": _init_conv(next(ks), 1, W["P5"], W["P5"] // 2),
             "cv2": _init_conv(next(ks), 1, W["P5"] * 2, W["P5"]),
         },
     }
     neck = {
-        "12": _init_c2f(next(ks), W["P5"] + W["P4"], W["P4"], DEPTHS["neck"]),
-        "15": _init_c2f(next(ks), W["P4"] + W["P3"], W["P3"], DEPTHS["neck"]),
+        "12": _init_c2f(next(ks), W["P5"] + W["P4"], W["P4"], DEPTHS_["neck"]),
+        "15": _init_c2f(next(ks), W["P4"] + W["P3"], W["P3"], DEPTHS_["neck"]),
         "16": _init_conv(next(ks), 3, W["P3"], W["P3"]),
-        "18": _init_c2f(next(ks), W["P3"] + W["P4"], W["P4"], DEPTHS["neck"]),
+        "18": _init_c2f(next(ks), W["P3"] + W["P4"], W["P4"], DEPTHS_["neck"]),
         "19": _init_conv(next(ks), 3, W["P4"], W["P4"]),
-        "21": _init_c2f(next(ks), W["P4"] + W["P5"], W["P5"], DEPTHS["neck"]),
+        "21": _init_c2f(next(ks), W["P4"] + W["P5"], W["P5"], DEPTHS_["neck"]),
     }
-    # head channel plan (ultralytics Detect): c2 = max(16, ch0//4, 4*REG_MAX)
-    # = 64; c3 = max(ch0, min(nc, 100)) = 128 for -s
-    c2, c3 = 64, 128
+    # head channel plan (ultralytics Detect):
+    # c2 = max(16, ch0//4, 4*REG_MAX); c3 = max(ch0, min(nc, 100))
+    c2 = max(16, W["P3"] // 4, 4 * REG_MAX)
+    c3 = max(W["P3"], min(num_classes, 100))
     levels = []
     for ch in (W["P3"], W["P4"], W["P5"]):
         levels.append(
@@ -249,7 +281,7 @@ def init_params(key: jax.Array) -> Params:
                 "cv3": [
                     _init_conv(next(ks), 3, ch, c3),
                     _init_conv(next(ks), 3, c3, c3),
-                    _init_conv(next(ks), 1, c3, NUM_CLASSES),
+                    _init_conv(next(ks), 1, c3, num_classes),
                 ],
             }
         )
@@ -427,14 +459,28 @@ class YoloV8Detector:
 
 def load_detector(weights_path: str, cfg: Optional[YoloConfig] = None) -> YoloV8Detector:
     """Load from an .npz of ultralytics state_dict arrays, or a native .npz
-    param tree (models/io format)."""
+    param tree (models/io format; fp16 storage upcast to fp32 for compute).
+
+    A ``meta.json`` sidecar (written by scripts/train_yolo.py) next to the
+    weights overrides the config's imgsz so inference letterboxes to the
+    trained resolution."""
+    import json
+
     from clip_lora_match_tpu.models.io import unflatten_params
 
     with np.load(weights_path) as data:
         keys = list(data.files)
-        flat = {k: data[k] for k in keys}
+        flat = {k: np.asarray(data[k], np.float32) for k in keys}
     if any(k.startswith("model.") for k in keys):
         params = convert_ultralytics_state_dict(flat)
     else:
         params = unflatten_params(flat)
+    meta = os.path.join(os.path.dirname(weights_path), "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            imgsz = json.load(f).get("imgsz")
+        if imgsz:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg or YoloConfig(), imgsz=int(imgsz))
     return YoloV8Detector(params, cfg)

@@ -38,6 +38,13 @@ class SeekerConfig:
     text_weight: float = 0.5
     image_weight: float = 0.5
     use_yolo_crop: bool = False
+    # serving fast path: detector box → device-side crop+resize+normalize →
+    # encoder, skipping the reference's crop-file → reopen → preprocess disk
+    # round trip (ref:seeker_service.py:121-146 + yolo_cropper.py:117-122).
+    # Embeddings match the disk path within resample tolerance
+    # (tests/test_device_crop.py); disk mode stays the behavior-parity
+    # default and the fallback whenever the cropper has no live detector.
+    use_device_crop: bool = False
     watch_index_file: bool = True
 
 
@@ -79,6 +86,34 @@ class SeekerService:
             self._mtime = m
             log.info("reloaded index (%d rows)", len(self.index))
 
+    def _device_crop_embed(self, image_path: str) -> Optional[np.ndarray]:
+        """Device-side detect → crop → embed (no crop-file round trip).
+        Returns None to signal the caller to take the disk-parity path
+        (no live detector, or any failure — matching the reference's
+        fall-back-to-original semantics, ref L137-138)."""
+        from clip_lora_match_tpu.models.yolo.cropper import NullDetector
+
+        detector = getattr(self.cropper, "detector", None)
+        if detector is None or isinstance(detector, NullDetector):
+            return None
+        try:
+            from PIL import Image
+
+            from clip_lora_match_tpu.models.yolo.device_crop import (
+                crop_embed_pipeline,
+            )
+
+            img = Image.open(image_path).convert("RGB")
+            emb, _ = crop_embed_pipeline(
+                detector, self.encoder, img, k_best=1,
+                conf=self.cropper.cfg.conf_threshold,
+                iou=self.cropper.cfg.iou_threshold,
+            )
+            return np.asarray(emb[0])
+        except Exception as e:
+            log.warning("device crop failed (%s); disk-path fallback", e)
+            return None
+
     def _build_query_embedding(
         self,
         description: Optional[str],
@@ -91,15 +126,21 @@ class SeekerService:
         if description:
             text_emb = self.encoder.encode_text(description)
         if image_path:
-            query_img = image_path
-            if self.cropper is not None:
-                try:
-                    crops = self.cropper.crop_image(image_path)
-                    if crops:
-                        query_img = crops[0]  # crop[0] like ref L129
-                except Exception as e:  # fall back to original (ref L137-138)
-                    log.warning("query crop failed (%s); using original", e)
-            image_emb = self.encoder.encode_image(query_img)
+            emb = None
+            if self.cropper is not None and self.cfg.use_device_crop:
+                emb = self._device_crop_embed(image_path)
+            if emb is not None:
+                image_emb = emb
+            else:
+                query_img = image_path
+                if self.cropper is not None:
+                    try:
+                        crops = self.cropper.crop_image(image_path)
+                        if crops:
+                            query_img = crops[0]  # crop[0] like ref L129
+                    except Exception as e:  # fall back to original (ref L137-138)
+                        log.warning("query crop failed (%s); using original", e)
+                image_emb = self.encoder.encode_image(query_img)
         if text_emb is None:
             return image_emb
         if image_emb is None:

@@ -6,6 +6,7 @@ from clip_lora_match_tpu.train.loss import (
 from clip_lora_match_tpu.train.step import (
     TrainState,
     init_train_state,
+    make_chained_train_step,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -19,6 +20,7 @@ __all__ = [
     "clip_contrastive_loss_learned_scale",
     "TrainState",
     "init_train_state",
+    "make_chained_train_step",
     "make_eval_step",
     "make_optimizer",
     "make_train_step",

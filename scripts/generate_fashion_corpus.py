@@ -14,6 +14,15 @@ Captions follow the reference's template (ref:scripts/build_fashion_csv.py:58-66
 
 Deterministic for a given seed; images are regenerable and NOT meant to be
 committed (see data/fashion_synth/.gitignore).
+
+``--detect`` mode renders a DETECTION corpus instead: the same article
+shapes placed at random position/scale on varied backgrounds, with exact
+ground-truth boxes (computed from the rendered alpha layer, not the
+placement math — pixel-true) written to ``boxes_{split}.csv`` as
+``image_path,x1 y1 x2 y2 cls[;...]``. This grounds the JAX YOLOv8 trainer
+(models/yolo/train.py): the reference ships a pretrained ultralytics
+yolov8s (ref:models/yolo_model.py:20-39) which zero egress forbids, so the
+detector earns its weights from this programmatic ground truth.
 """
 
 import argparse
@@ -127,13 +136,127 @@ def caption(colour, article, gender, pattern, trim) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Detection corpus (--detect): random placement + pixel-true GT boxes
+# ---------------------------------------------------------------------------
+
+ARTICLE_CLASSES = sorted(ARTICLES)  # stable class-id ↔ article mapping
+
+
+def render_object_layer(colour, article, pattern, trim) -> Image.Image:
+    """The article shape alone on a transparent canvas, cropped to its own
+    bounding box — the paste source for random placement."""
+    rgb = COLOURS[colour]
+    kind, _, _ = ARTICLES[article]
+    layer = Image.new("RGBA", (S, S), (0, 0, 0, 0))
+    d = ImageDraw.Draw(layer)
+    _draw_shape(d, kind, rgb)
+    # pattern/trim only where the shape is opaque (mask by current alpha)
+    mask = layer.split()[3].copy()
+    deco = Image.new("RGBA", (S, S), (0, 0, 0, 0))
+    dd = ImageDraw.Draw(deco)
+    _apply_pattern(dd, pattern, rgb)
+    dd.rectangle([60, S // 2 - 6, S - 60, S // 2 + 6], fill=COLOURS[trim])
+    layer.paste(deco, (0, 0), Image.composite(deco.split()[3], Image.new("L", (S, S), 0), mask))
+    return layer.crop(layer.getbbox())
+
+
+def render_detect_image(rng: random.Random, canvas: int, max_objects: int):
+    """→ (PIL image, [(x1, y1, x2, y2, class_id), ...]). Ground truth is the
+    pasted layer's alpha bbox — exact by construction."""
+    bg = tuple(rng.randint(150, 235) for _ in range(3))
+    img = Image.new("RGB", (canvas, canvas), bg)
+    d = ImageDraw.Draw(img)
+    # low-contrast clutter that is NOT an article (lines + outline boxes)
+    for _ in range(rng.randint(0, 4)):
+        shade = tuple(max(0, c - rng.randint(10, 35)) for c in bg)
+        x1, y1 = rng.randint(0, canvas - 2), rng.randint(0, canvas - 2)
+        x2, y2 = min(canvas, x1 + rng.randint(10, 80)), min(canvas, y1 + rng.randint(2, 10))
+        if rng.random() < 0.5:
+            d.rectangle([x1, y1, x2, y2], outline=shade, width=2)
+        else:
+            d.line([x1, y1, x2, y2], fill=shade, width=2)
+
+    boxes = []
+    n_obj = rng.randint(1, max_objects)
+    for _ in range(n_obj):
+        colour = rng.choice(list(COLOURS))
+        article = rng.choice(ARTICLE_CLASSES)
+        pattern = rng.choice(PATTERNS)
+        trim = rng.choice([c for c in COLOURS if c != colour])
+        layer = render_object_layer(colour, article, pattern, trim)
+        # scale so the longer side lands in [0.2, 0.75] of the canvas
+        target = rng.uniform(0.2, 0.75) * canvas
+        f = target / max(layer.size)
+        lw, lh = max(2, int(layer.size[0] * f)), max(2, int(layer.size[1] * f))
+        layer = layer.resize((lw, lh), Image.Resampling.BILINEAR)
+        placed = False
+        for _attempt in range(20):
+            px = rng.randint(0, canvas - lw)
+            py = rng.randint(0, canvas - lh)
+            cand = (px, py, px + lw, py + lh)
+            overlap = any(
+                not (cand[2] <= b[0] or b[2] <= cand[0]
+                     or cand[3] <= b[1] or b[3] <= cand[1])
+                for b in boxes
+            )
+            if not overlap:
+                placed = True
+                break
+        if not placed:
+            continue
+        img.paste(layer, (px, py), layer)
+        boxes.append((px, py, px + lw, py + lh,
+                      ARTICLE_CLASSES.index(article)))
+    return img, boxes
+
+
+def generate_detect(args):
+    rng = random.Random(args.seed)
+    img_dir = os.path.join(args.out, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    with open(os.path.join(args.out, ".gitignore"), "w") as f:
+        f.write("images/\n*.csv\n")
+    with open(os.path.join(args.out, "classes.txt"), "w") as f:
+        f.write("\n".join(ARTICLE_CLASSES) + "\n")
+
+    def write_split(name, n, start):
+        csv_path = os.path.join(args.out, f"boxes_{name}.csv")
+        with open(csv_path, "w") as f:
+            f.write("image_path,boxes\n")
+            for i in range(start, start + n):
+                path = os.path.join(img_dir, f"{i:05d}.jpg")
+                img, boxes = render_detect_image(rng, args.imgsz, args.max_objects)
+                if not boxes:  # degenerate placement; retry deterministic-ish
+                    img, boxes = render_detect_image(rng, args.imgsz, args.max_objects)
+                img.save(path, quality=92)
+                enc = ";".join(
+                    f"{x1} {y1} {x2} {y2} {c}" for x1, y1, x2, y2, c in boxes
+                )
+                f.write(f'{path},"{enc}"\n')
+        print(f"[corpus] wrote {csv_path} ({n} rows)")
+        return start + n
+
+    nxt = write_split("train", args.n_train, 0)
+    write_split("val", args.n_val, nxt)
+
+
 def main():
     p = argparse.ArgumentParser(description="Generate synthetic fashion corpus")
     p.add_argument("--out", default="data/fashion_synth")
     p.add_argument("--n-train", type=int, default=2400)
     p.add_argument("--n-val", type=int, default=600)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--detect", action="store_true",
+                   help="generate a detection corpus with GT boxes instead")
+    p.add_argument("--imgsz", type=int, default=320,
+                   help="detection canvas size (multiple of 32)")
+    p.add_argument("--max-objects", type=int, default=2)
     args = p.parse_args()
+
+    if args.detect:
+        generate_detect(args)
+        return
 
     combos = [
         (c, a, g, pt, tr)

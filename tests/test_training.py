@@ -130,6 +130,39 @@ def test_base_params_frozen(setup):
         np.testing.assert_array_equal(a, b)
 
 
+def test_chained_step_matches_k_single_steps(setup):
+    """make_chained_train_step(K) must be bit-equivalent to K sequential
+    single steps (same rng stream, same optimizer trajectory) — it only
+    amortizes the per-dispatch relay overhead (VERDICT r2 next-step #4)."""
+    from clip_lora_match_tpu.train import make_chained_train_step
+
+    params, state0, step, tx = setup
+    K = 3
+    batches = [_batch(np.random.default_rng(10 + i)) for i in range(K)]
+    stacked = {
+        k: np.stack([b[k] for b in batches]) for k in batches[0]
+    }
+    chained = make_chained_train_step(params, ARCH, LORA, TRAIN, tx, chain=K,
+                                      eot_id=513)
+
+    s_single = state0
+    losses = []
+    for b in batches:
+        s_single, m = step(s_single, b)
+        losses.append(float(m["loss"]))
+    s_chain, mc = chained(state0, stacked)
+
+    np.testing.assert_allclose(
+        float(mc["loss"]), np.mean(losses), rtol=1e-6
+    )
+    assert int(s_chain.step) == int(s_single.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_single.lora),
+        jax.tree_util.tree_leaves(s_chain.lora),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_eval_step_deterministic(setup):
     params, state, _, _ = setup
     ev = make_eval_step(params, ARCH, LORA, TRAIN, eot_id=513)
