@@ -115,10 +115,19 @@ def topk_retrieve(
     reproduce the gap, so the long-measured 128 stays; block_n=4096 exceeds
     scoped VMEM.
 
+    Negative result (r3, committed in docs/DESIGN.md §7.5): a grouped
+    per-tile selection variant (tile-max over 16-row sublane groups inside
+    the kernel, row resolution via masked column-sums into scratch) cut the
+    extraction op count ~6-20x on paper but measured 76-435k qps vs this
+    kernel's 294k-6.1M — the 160 serial single-sublane stores it needs
+    (Mosaic has no 2D gather and rejects both 3D leading-axis reduces and
+    offset-carrying sublane concats) serialize the VPU. Removed.
+
     queries: (Q, D) — normalized IN-KERNEL (callers may pass raw embeddings).
     index:   (N, D) fp32 or bf16 — assumed L2-normalized (EmbeddingIndex
              guarantees this); bf16 storage halves the HBM stream, scores
-             still accumulate in fp32.
+             still accumulate in fp32 (measured 6.1M qps at N=8,192 bf16 —
+             the realistic service index scale).
     Returns (scores (Q, k) fp32 desc-sorted, indices (Q, k) int32).
     """
     Q, D = queries.shape
