@@ -406,15 +406,37 @@ def letterbox(img: Image.Image, size: int = 640) -> tuple[np.ndarray, float, tup
 
 
 class YoloV8Detector:
-    """Detector-protocol implementation backed by the JAX model."""
+    """Detector-protocol implementation backed by the JAX model.
 
-    def __init__(self, params: Params, cfg: Optional[YoloConfig] = None):
+    ``compute_dtype``: inference precision for the conv stack. Defaults to
+    bf16 on TPU (measured +20-25% detect throughput at 640², B=16-32 on
+    v5e: 1,422 → 1,712 and 1,461 → 1,830 img/s, interleaved median-of-5;
+    box deltas vs fp32 are sub-pixel) and fp32 elsewhere."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: Optional[YoloConfig] = None,
+        compute_dtype=None,
+    ):
         self.params = params
         self.cfg = cfg or YoloConfig()
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self._params_c = (
+            params
+            if self.compute_dtype == jnp.float32
+            else jax.tree.map(
+                lambda x: jnp.asarray(x).astype(self.compute_dtype), params
+            )
+        )
 
         @functools.partial(jax.jit, static_argnames=("max_det", "agnostic"))
         def _infer(params, images, conf, iou, max_det, agnostic):
-            outs = forward(params, images)
+            outs = forward(params, images.astype(self.compute_dtype))
             boxes, probs = decode_predictions(outs)
             scores = jnp.max(probs, axis=-1)
             classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
@@ -433,7 +455,7 @@ class YoloV8Detector:
         size = self.cfg.imgsz
         arr, scale, (px, py) = letterbox(image, size)
         boxes, scores, cls_ids, valid = self._infer(
-            self.params, jnp.asarray(arr[None]), conf, iou, max_det, agnostic
+            self._params_c, jnp.asarray(arr[None]), conf, iou, max_det, agnostic
         )
         boxes = np.asarray(boxes[0])
         scores = np.asarray(scores[0])

@@ -75,6 +75,63 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads, head_dim, scale, s_v
         o_ref[:, :, sl] = oh.astype(o_ref.dtype)
 
 
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, s_valid):
+    """Head-PAIR packed variant: two adjacent heads per MXU dot.
+
+    The per-head (S, hd)·(hd, S) dots at CLIP-vision geometry (S→64, hd=64)
+    use a quarter of the 128×128 MXU tile — the measured ceiling of the r2
+    kernel (~25% tile utilization, ROUND_NOTES r2). Packing head pairs:
+
+    - q/k/v pair slices are FREE: adjacent heads are contiguous 128-wide
+      lane windows of the (bb, S, H·hd) layout;
+    - keys/values expand to BLOCK-DIAGONAL (2S, 128) operands
+      ([[k_h, 0], [0, k_h+1]] — zeros via lane masks, rows via sublane
+      concat), so one (S,128)·(128,2S) dot yields both heads' scores side
+      by side and one (S,2S)·(2S,128) dot both heads' contexts;
+    - K and N dims hit the full 128 tile: 2 heads per MXU pass instead of 1
+      (2x the naive FLOPs, half the passes — the zeros ride for free).
+
+    Requires: no attention mask (the image tower's case — text S=77 is
+    XLA's anyway), even head count, S padded to a 64 multiple so the
+    denominator lane windows stay 64-aligned (Mosaic miscompiles unaligned
+    lane windows). Softmax is the same max-free form as _kernel."""
+    S = q_ref.shape[1]
+    lane2s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 2 * S), 2)
+    col_in_win = jnp.where(lane2s < S, lane2s, lane2s - S)
+    key_pad = jnp.where(col_in_win < s_valid, 0.0, NEG_INF)
+    for h in range(0, heads, 2):
+        sl = slice(h * head_dim, (h + 2) * head_dim)  # 128-wide window
+        q2 = q_ref[:, :, sl]
+        k2 = k_ref[:, :, sl]
+        v2 = v_ref[:, :, sl]
+        lane = jax.lax.broadcasted_iota(jnp.int32, k2.shape, 2)
+        left = lane < head_dim
+        k_blk = jnp.concatenate(
+            [jnp.where(left, k2, 0.0), jnp.where(left, 0.0, k2)], axis=1
+        )  # (bb, 2S, 128) block-diagonal
+        scores = jax.lax.dot_general(
+            q2, k_blk,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, S, 2S) = [scores_h | scores_h+1]
+        scores = scores * scale + key_pad
+        e = jnp.exp(jnp.minimum(scores, 80.0))
+        v_blk = jnp.concatenate(
+            [jnp.where(left, v2, 0.0), jnp.where(left, 0.0, v2)], axis=1
+        )
+        o2 = jax.lax.dot_general(
+            e.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, S, 128) = [ctx_h | ctx_h+1]
+        d1 = jnp.sum(e[:, :, :S], axis=2, keepdims=True)
+        d2 = jnp.sum(e[:, :, S:], axis=2, keepdims=True)
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, o2.shape, 2)
+        denom = jnp.where(lane_o < head_dim, d1, d2)
+        o2 = o2 / jnp.maximum(denom, 1e-30)
+        o_ref[:, :, sl] = o2.astype(o_ref.dtype)
+
+
 # Target within the 16M scoped-vmem stack limit on v5e (margin for Mosaic's
 # own scratch); per-batch cost below models the pipeline's double buffering.
 _VMEM_BUDGET = 13 * 1024 * 1024
@@ -84,10 +141,13 @@ def _attention_small_impl(
     q, k, v, mask, scale: float, block_b: int, interpret: bool
 ):
     B, S, H, hd = q.shape
+    # head-pair packed kernel (see _kernel_packed): maskless, even heads,
+    # hd=64, and S padded to 64 so the packed score windows stay lane-aligned
+    packed = mask is None and H % 2 == 0 and hd == 64
     # pad S to the dtype's native sublane tile (16 for bf16, 8 for fp32):
     # tight padding matters — 77→80 rows halves the kernel vs 77→128
     # (0.11 vs 0.22 ms/layer measured at CLIP text geometry on v5e)
-    mult = 16 if q.dtype.itemsize <= 2 else 8
+    mult = 64 if packed else (16 if q.dtype.itemsize <= 2 else 8)
     sp = -(-S // mult) * mult
     # size the batch block to the VMEM budget: 4 streamed tensors + the
     # per-head score/exp/prob transients (+ optional mask block)
@@ -98,6 +158,14 @@ def _attention_small_impl(
     # score/exp/prob transients are not (empirically calibrated against
     # Mosaic's scoped-vmem accounting on v5e)
     per_b = 2 * 4 * sp * H * hd * q.dtype.itemsize + 3 * sp * sp * 4
+    if packed:
+        # packed transients: (sp, 2sp) scores/exp + two (2sp, 128) block-diag
+        # operands per live pair
+        per_b = (
+            2 * 4 * sp * H * hd * q.dtype.itemsize
+            + 2 * sp * 2 * sp * 4
+            + 2 * 2 * sp * 128 * 4
+        )
     if mask is not None and not shared_mask:
         per_b += 2 * sp * sp * 4
     bb = max(1, min(block_b, B, _VMEM_BUDGET // per_b))
@@ -167,10 +235,15 @@ def _attention_small_impl(
             )
         args.append(mb)
 
-    kernel = functools.partial(
-        _kernel if mask is not None else _kernel_nomask_adapter,
-        heads=H, head_dim=hd, scale=scale, s_valid=S,
-    )
+    if packed:
+        kernel = functools.partial(
+            _kernel_packed, heads=H, head_dim=hd, scale=scale, s_valid=S,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel if mask is not None else _kernel_nomask_adapter,
+            heads=H, head_dim=hd, scale=scale, s_valid=S,
+        )
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
