@@ -26,7 +26,10 @@ from PIL import Image
 
 from clip_lora_match_tpu.core.config import PreprocessConfig
 from clip_lora_match_tpu.preprocess.augment import ImageAugmenter
-from clip_lora_match_tpu.preprocess.image import preprocess_pil
+from clip_lora_match_tpu.preprocess.image import (
+    load_resized_cropped_u8,
+    preprocess_pil,
+)
 from clip_lora_match_tpu.tokenizer import ClipTokenizer
 
 
@@ -42,8 +45,15 @@ class ClipPairDataset:
         augment: bool = False,
         augmenter: Optional[ImageAugmenter] = None,
         max_rows: Optional[int] = None,
+        uint8_pixels: bool = False,
     ):
+        """``uint8_pixels``: emit resized/cropped uint8 ``pixel_values``
+        (NOT normalized) for the on-device-normalization feed — same
+        numbers as the float path (both quantize through the source uint8
+        image) at a quarter of the host→device bytes. The train/eval steps
+        normalize uint8 batches on device (train/step._tower_features)."""
         self.pre = preprocess or PreprocessConfig()
+        self.uint8_pixels = uint8_pixels
         self.tokenizer = tokenizer
         self.image_root = image_root
         self.augmenter = augmenter or (ImageAugmenter() if augment else None)
@@ -78,13 +88,16 @@ class ClipPairDataset:
         img = Image.open(self._resolve(self.image_paths[i])).convert("RGB")
         if self.augmenter is not None:
             img = self.augmenter(img)
-        pix = preprocess_pil(
-            img,
-            image_size=self.pre.image_size,
-            mean=self.pre.mean,
-            std=self.pre.std,
-            center_crop=self.pre.center_crop,
-        )
+        if self.uint8_pixels:
+            pix = load_resized_cropped_u8(img, self.pre)
+        else:
+            pix = preprocess_pil(
+                img,
+                image_size=self.pre.image_size,
+                mean=self.pre.mean,
+                std=self.pre.std,
+                center_crop=self.pre.center_crop,
+            )
         return {
             "pixel_values": pix,
             "input_ids": self._input_ids[i],

@@ -79,7 +79,22 @@ def _tower_features(
     params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
     dropout_rng=None, unroll=1,
 ):
-    """Forward both towers; LoRA dropout active iff dropout_rng is given."""
+    """Forward both towers; LoRA dropout active iff dropout_rng is given.
+
+    ``pixel_values`` may arrive as uint8 (resized/cropped, NOT normalized):
+    scale + CLIP mean/std then happen ON-DEVICE, cutting the host→HBM batch
+    transfer 4x (the same trick as the serving encoder's uint8 feed,
+    models/encoder.py::_image_fn_u8 — through the relay the fp32 pixel
+    transfer is a real per-step cost at B=128: 77 MB vs 19 MB). Custom
+    mean/std pipelines should feed pre-normalized float pixels."""
+    pix = batch["pixel_values"]
+    if pix.dtype == jnp.uint8:
+        from clip_lora_match_tpu.core.config import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+        x = pix.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+        std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
+        batch = {**batch, "pixel_values": (x - mean) / std}
     rate = lora_cfg.dropout if dropout_rng is not None else 0.0
     rngs = (
         jax.random.split(dropout_rng) if dropout_rng is not None else (None, None)

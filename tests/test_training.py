@@ -246,6 +246,25 @@ def test_prefetch_yields_all_and_propagates_errors(csv_dataset):
         list(it)
 
 
+def test_uint8_feed_matches_float_feed(csv_dataset, setup):
+    """uint8 pixel feed + on-device normalization must produce the SAME
+    loss as the host-normalized float feed (both quantize through the same
+    source uint8 image)."""
+    csv_path, root = csv_dataset
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    pre = PreprocessConfig(image_size=32, max_text_length=16)
+    ds_f = ClipPairDataset(csv_path, tok, pre, image_root=root)
+    ds_u = ClipPairDataset(csv_path, tok, pre, image_root=root,
+                           uint8_pixels=True)
+    bf = next(batch_iterator(ds_f, 8, shuffle=False))
+    bu = next(batch_iterator(ds_u, 8, shuffle=False))
+    assert bu["pixel_values"].dtype == np.uint8
+    params, state, _, _ = setup
+    ev = make_eval_step(params, ARCH, LORA, TRAIN, eot_id=513)
+    lf, lu = float(ev(state.lora, bf)), float(ev(state.lora, bu))
+    assert lu == pytest.approx(lf, abs=1e-5)
+
+
 def test_missing_csv_columns(tmp_path):
     bad = tmp_path / "bad.csv"
     bad.write_text("a,b\n1,2\n")
