@@ -72,6 +72,104 @@ def crop_resize_normalize(
     return (jnp.clip(crops, 0.0, 1.0) - mean) / std
 
 
+def make_fused_search(
+    detector,
+    encoder,
+    index: "jnp.ndarray",
+    k: int = 5,
+    conf: float = 0.25,
+    iou: float = 0.45,
+):
+    """ONE-dispatch two-stage search: detect → NMS → device crop → CLIP
+    embed → fused top-k, all inside a single jit program.
+
+    The staged pipeline (detector.detect → python Detection list →
+    crop_embed_pipeline → topk) crosses host↔device 7-9 times per query;
+    through the axon relay each crossing costs a full RTT, measured ~297 ms
+    per query end-to-end. Fusing the whole read path into one program
+    leaves ONE dispatch + ONE readback regardless of relay latency — and on
+    a co-located TPU VM it is simply the minimal program.
+
+    Semantics match the staged path: highest-confidence box, or the full
+    image when nothing detects (ref:seeker_service.py:121-138's crop[0] /
+    fallback behavior), letterbox geometry identical to
+    ``yolov8.letterbox``.
+
+    Returns ``search(image_u8: (H, W, 3) uint8 np.ndarray) ->
+    (scores (k,), ids (k,), box_xyxy (4,), detected: bool)``; one compile
+    per distinct input geometry.
+    """
+    import functools
+
+    import numpy as np
+
+    from clip_lora_match_tpu.models import clip as clip_model
+    from clip_lora_match_tpu.models.yolo import yolov8
+    from clip_lora_match_tpu.models.yolo.postprocess import nms_fixed
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_auto,
+        topk_retrieve_reference,
+    )
+
+    use_kernel = jax.default_backend() == "tpu"
+    det_size = detector.cfg.imgsz
+    arch = encoder.arch
+    det_params = detector._params_c
+    clip_params = encoder.params
+    lora = encoder.lora
+
+    @functools.partial(jax.jit, static_argnames=("H", "W"))
+    def _search(det_params, clip_params, lora, index, img_u8, H, W):
+        img = img_u8.astype(jnp.float32) / 255.0  # (H, W, 3)
+        # device letterbox (geometry mirrors yolov8.letterbox)
+        scale = min(det_size / W, det_size / H)
+        nw, nh = int(round(W * scale)), int(round(H * scale))
+        px, py = (det_size - nw) // 2, (det_size - nh) // 2
+        resized = jax.image.resize(img, (nh, nw, 3), method="bilinear")
+        canvas = jnp.full((det_size, det_size, 3), 114.0 / 255.0, jnp.float32)
+        canvas = jax.lax.dynamic_update_slice(canvas, resized, (py, px, 0))
+        outs = yolov8.forward(
+            det_params, canvas[None].astype(detector.compute_dtype)
+        )
+        boxes, probs = yolov8.decode_predictions(outs)
+        scores = jnp.max(probs, axis=-1)[0]
+        classes = jnp.argmax(probs, axis=-1)[0].astype(jnp.int32)
+        b, s, c, valid = nms_fixed(
+            boxes[0], scores, classes, conf, iou,
+            max_det=detector.cfg.max_det,
+        )
+        detected = valid[0]
+        # best box back to original coords, clamped; full image on no-detect
+        bb = (b[0] - jnp.asarray([px, py, px, py], jnp.float32)) / scale
+        bb = jnp.clip(bb, 0.0, jnp.asarray([W, H, W, H], jnp.float32))
+        bb = jnp.where(detected, bb, jnp.asarray([0.0, 0.0, W, H]))
+        pix = crop_resize_normalize(
+            img[None], bb[None], out_size=arch.image_size
+        )
+        feats = clip_model.encode_image_features(
+            clip_params, pix, arch,
+            lora=lora, lora_scaling=encoder.lora_scaling,
+            compute_dtype=encoder.compute_dtype,
+        )
+        q = clip_model.l2_normalize(feats).astype(jnp.float32)
+        if use_kernel:
+            top_s, top_i = topk_retrieve_auto(q, index, k)
+        else:  # CPU (tests): jnp oracle — Pallas needs interpret mode there
+            top_s, top_i = topk_retrieve_reference(q, index, k)
+        return top_s[0], top_i[0], bb, detected
+
+    def search(image_u8: "np.ndarray"):
+        H, W = int(image_u8.shape[0]), int(image_u8.shape[1])
+        s, i, bb, det = _search(
+            det_params, clip_params, lora, index, jnp.asarray(image_u8), H, W
+        )
+        return (
+            np.asarray(s), np.asarray(i), np.asarray(bb), bool(det)
+        )
+
+    return search
+
+
 def crop_embed_pipeline(
     detector, encoder, image, k_best: int = 1,
     conf: float = 0.25, iou: float = 0.45,

@@ -122,6 +122,48 @@ def test_load_yolo_cropper_finds_committed_weights(monkeypatch):
     assert not isinstance(cropper.detector, NullDetector)
 
 
+def test_fused_search_matches_staged_pipeline(detector, held_out_images):
+    """One-dispatch fused search (detect→crop→embed→topk in a single jit)
+    must rank like the staged device-crop path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_index_retrieval import TINY
+    from clip_lora_match_tpu.core.config import ClipConfig, PreprocessConfig
+    from clip_lora_match_tpu.models import clip as jclip
+    from clip_lora_match_tpu.models.encoder import ClipEncoder
+    from clip_lora_match_tpu.models.yolo.device_crop import (
+        crop_embed_pipeline,
+        make_fused_search,
+    )
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_reference
+
+    params = jclip.init_params(jax.random.PRNGKey(0), TINY)
+    enc = ClipEncoder(
+        params, arch=TINY,
+        config=ClipConfig(arch=TINY, preprocess=PreprocessConfig(image_size=32)),
+    )
+    rng = np.random.default_rng(1)
+    index = rng.normal(size=(64, TINY.projection_dim)).astype(np.float32)
+    index /= np.linalg.norm(index, axis=1, keepdims=True)
+    search = make_fused_search(detector, enc, jnp.asarray(index), k=5)
+
+    img, boxes = held_out_images[0]
+    scores, ids, box, detected = search(np.asarray(img, np.uint8))
+    assert detected
+    assert _iou(boxes[0][:4], box) >= 0.5
+    assert scores.shape == (5,) and ids.shape == (5,)
+
+    # staged comparison: device-crop embed → oracle top-k
+    emb, dets = crop_embed_pipeline(detector, enc, img, k_best=1)
+    s_ref, i_ref = topk_retrieve_reference(
+        jnp.asarray(emb), jnp.asarray(index), 5
+    )
+    # resampling differences (device letterbox vs PIL) may swap near-ties;
+    # require the top result to agree
+    assert int(ids[0]) == int(np.asarray(i_ref)[0, 0])
+
+
 def test_seeker_device_crop_matches_disk_path(detector, tmp_path, held_out_images):
     """Flag-gated device crop ≡ disk crop-file path within resample
     tolerance (VERDICT r2 next-step #3)."""
