@@ -466,7 +466,10 @@ def _train_step_extra(arch, params, rng):
     from clip_lora_match_tpu.train import make_chained_train_step
 
     lora_cfg = LoraConfig()
-    tcfg = TrainingConfig(batch_size=128)
+    # B=96 re-measured as the r3 sweet spot (2,252 ex/s vs 2,160 at 128,
+    # 1,796 at 192, 1,740 at 256 — same VMEM-fusion-window effect as the
+    # embed path)
+    tcfg = TrainingConfig(batch_size=96)
     tx, _ = make_optimizer(tcfg, 100)
     state = init_train_state(
         init_lora(jax.random.PRNGKey(1), arch, lora_cfg), tx, rng_impl="rbg"

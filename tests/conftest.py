@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# 1-core host: 8 virtual devices reach collective rendezvous staggered by
+# timesharing; XLA's 20s/40s defaults HARD-ABORT the process (observed on
+# the full-geometry dry-run step under suite load)
+if "collective_call_terminate" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    )
 
 import jax  # noqa: E402
 
