@@ -227,6 +227,12 @@ class YoloConfig:
     max_det: int = 5
     classes: Optional[Sequence[int]] = None
     agnostic_nms: bool = False
+    # minimum box area as a fraction of the image; 0 keeps reference parity
+    # (every detection cropped, ref:yolo_cropper.py:117-122). The committed
+    # synthetic-corpus detector can fire confident near-zero-area boxes on
+    # out-of-domain real photos — production deployments of it should set
+    # ~0.01 to drop degenerate crops.
+    min_box_frac: float = 0.0
     crop_enabled: bool = False
     crop_save_dir: str = "data/cropped"
     filename_pattern: str = "{stem}_crop_{idx}.jpg"

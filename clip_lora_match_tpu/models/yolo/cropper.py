@@ -81,12 +81,17 @@ class YoloCropper:
         out_dir = save_dir or self.cfg.crop_save_dir
         os.makedirs(out_dir, exist_ok=True)
         paths: list[str] = []
+        min_area = self.cfg.min_box_frac * w * h
         for idx, det in enumerate(detections):
             x1, y1, x2, y2 = det.box
             # clamp to bounds (ref L111-115)
             x1, y1 = max(0, int(x1)), max(0, int(y1))
             x2, y2 = min(w, int(x2)), min(h, int(y2))
             if x2 <= x1 or y2 <= y1:
+                continue
+            if (x2 - x1) * (y2 - y1) < min_area:
+                # opt-in degenerate-crop guard (see YoloConfig.min_box_frac);
+                # default 0.0 preserves reference behavior
                 continue
             path = self._crop_path(image_path, idx, save_dir)
             img.crop((x1, y1, x2, y2)).save(path)

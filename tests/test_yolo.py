@@ -55,6 +55,32 @@ def test_nms_class_aware_vs_agnostic():
     assert np.asarray(v2).sum() == 1
 
 
+def test_cropper_min_box_frac_guard(tmp_path):
+    """min_box_frac drops degenerate tiny boxes (opt-in; 0.0 default keeps
+    the reference's crop-everything behavior)."""
+    rng = np.random.default_rng(0)
+    src = tmp_path / "img.jpg"
+    Image.fromarray(
+        rng.integers(0, 255, (100, 100, 3), dtype=np.uint8), "RGB"
+    ).save(src)
+
+    class TinyAndBig:
+        def detect(self, image, conf, iou, max_det, classes=None, agnostic=False):
+            return [
+                Detection((0.0, 0.0, 3.0, 3.0), 0.9, 0),     # 9 px² — degenerate
+                Detection((10.0, 10.0, 60.0, 60.0), 0.8, 0),  # 25% of image
+            ]
+
+    base = dict(crop_save_dir=str(tmp_path / "c"))
+    paths = YoloCropper(TinyAndBig(), YoloConfig(**base)).crop_image(str(src))
+    assert len(paths) == 2  # default: reference parity, everything cropped
+    paths = YoloCropper(
+        TinyAndBig(), YoloConfig(min_box_frac=0.01, **base)
+    ).crop_image(str(src))
+    assert len(paths) == 1
+    assert Image.open(paths[0]).size == (50, 50)
+
+
 def test_decode_boxes():
     xywh = jnp.asarray([[10, 20, 4, 6]], jnp.float32)
     xyxy = np.asarray(decode_boxes(xywh))[0]
