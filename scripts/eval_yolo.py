@@ -16,6 +16,9 @@ earned-from-scratch weights.
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def box_iou_np(a, b):

@@ -18,9 +18,12 @@ Saves fp16 weights + a class-name sidecar under --out
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -67,10 +70,11 @@ def main():
     params = init_detect_biases(params, args.imgsz)
 
     steps_per_epoch = len(ds) // args.batch_size
-    total = steps_per_epoch * args.epochs
+    total = max(2, steps_per_epoch * args.epochs)
+    # clamp warmup below the horizon (smoke-scale runs have < warmup steps)
+    warmup = min(int(steps_per_epoch * args.warmup_epochs), total - 1)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, int(steps_per_epoch * args.warmup_epochs), total,
-        end_value=args.lr * 0.01,
+        0.0, args.lr, max(warmup, 1), total, end_value=args.lr * 0.01,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),

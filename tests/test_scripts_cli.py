@@ -45,6 +45,28 @@ def test_verify_data_structure_cli():
     assert "ALL OK" in r.stdout
 
 
+def test_yolo_train_eval_cli(tmp_path):
+    """Detector pipeline end-to-end at smoke scale: generate GT corpus →
+    train a few steps → evaluate against GT (metrics parse, no asserted
+    accuracy at this scale)."""
+    data = str(tmp_path / "detect")
+    r = _run(["scripts/generate_fashion_corpus.py", "--detect", "--out", data,
+              "--n-train", "16", "--n-val", "4", "--imgsz", "160"])
+    assert r.returncode == 0, r.stderr[-800:]
+    out = str(tmp_path / "weights")
+    r = _run(["scripts/train_yolo.py", "--data", data, "--out", out,
+              "--imgsz", "160", "--epochs", "1", "--batch-size", "8",
+              "--log-every", "1"], timeout=480)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.exists(os.path.join(out, "yolov8n_synth.npz"))
+    r = _run(["scripts/eval_yolo.py", "--data", data,
+              "--weights", os.path.join(out, "yolov8n_synth.npz"),
+              "--limit", "2"], timeout=480)
+    assert r.returncode == 0, r.stderr[-800:]
+    metrics = json.loads(r.stdout[r.stdout.index("{"):])
+    assert set(metrics) >= {"recall@0.5", "mean_matched_iou", "precision@0.5"}
+
+
 def test_eval_similarity_cli(tmp_path):
     out = str(tmp_path / "idx.npz")
     r = _run(["scripts/build_custom_index.py", "--csv", "data/custom/my_items.csv",
