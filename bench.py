@@ -156,6 +156,20 @@ def main():
 
     t_img = _bench(embed_images, params, pix, label="image_embed")
     images_per_sec = B / t_img
+    try:  # compiler-measured FLOPs → honest MFU for the headline too
+        cost = embed_images.lower(params, pix).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            print(
+                f"[bench] image embed XLA cost: {flops / B / 1e9:.2f} "
+                f"GFLOP/img -> {flops / t_img / 1e12:.1f} TFLOP/s "
+                f"({flops / t_img / 197e12 * 100:.0f}% MFU)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] embed cost_analysis unavailable: {e}", file=sys.stderr)
 
     # --- text embed throughput ---
     # T=96 measured sweet spot (17.8k/s vs 14.5k at 256; swept 96-320, 2 trials)
