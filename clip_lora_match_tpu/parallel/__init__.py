@@ -9,8 +9,22 @@ from clip_lora_match_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from clip_lora_match_tpu.parallel.tp import (
+    check_tp_divisibility,
+    clip_tp_pspecs,
+    init_tp_train_state,
+    lora_tp_pspecs,
+    shard_lora_tp,
+    shard_params_tp,
+)
 
 __all__ = [
+    "check_tp_divisibility",
+    "clip_tp_pspecs",
+    "init_tp_train_state",
+    "lora_tp_pspecs",
+    "shard_lora_tp",
+    "shard_params_tp",
     "initialize_distributed",
     "is_primary",
     "ShardedEncoder",
