@@ -212,6 +212,13 @@ class TrainingConfig:
     remat: Any = False
     scan_unroll: Any = True
     dropout_rng_impl: Optional[str] = None
+    # chain_steps: K optimizer steps per device dispatch (lax.scan over K
+    # stacked batches, train/step.py::make_chained_train_step) — amortizes
+    # the per-dispatch relay/launch overhead (~10 ms measured, r2). 1 = one
+    # dispatch per step (reference-shaped loop). K>1 changes NOTHING about
+    # the math (bit-equal to K single steps, tested); logging granularity
+    # coarsens to per-chain mean loss.
+    chain_steps: int = 1
 
 
 @dataclass(frozen=True)

@@ -207,7 +207,14 @@ def make_chained_train_step(
             return nxt, (loss, optax.global_norm(grads))
 
         state, (losses, gnorms) = jax.lax.scan(body, state, batches, length=chain)
-        return state, {"loss": jnp.mean(losses), "grad_norm": gnorms[-1]}
+        # "losses"/"grad_norms" carry the full per-micro-step vectors so a
+        # chained trainer loop logs the SAME trajectory as an unchained one
+        return state, {
+            "loss": jnp.mean(losses),
+            "losses": losses,
+            "grad_norm": gnorms[-1],
+            "grad_norms": gnorms,
+        }
 
     def step(state: TrainState, batches: dict) -> tuple[TrainState, dict]:
         return _chained(params, state, batches)

@@ -140,6 +140,17 @@ def train(
                                  eot_id=tokenizer.eot_id,
                                  remat=train_cfg.remat,
                                  unroll=train_cfg.scan_unroll)
+    chained_step = None
+    if train_cfg.chain_steps > 1:
+        # K optimizer steps per dispatch (bit-equal to K singles, tested);
+        # full chains go through this, the ragged tail through train_step
+        from clip_lora_match_tpu.train.step import make_chained_train_step
+
+        chained_step = make_chained_train_step(
+            params, arch, lora_cfg, train_cfg, tx,
+            chain=train_cfg.chain_steps, eot_id=tokenizer.eot_id,
+            remat=train_cfg.remat, unroll=train_cfg.scan_unroll,
+        )
     eval_step = make_eval_step(params, arch, lora_cfg, train_cfg,
                                eot_id=tokenizer.eot_id)
 
@@ -163,6 +174,27 @@ def train(
     def place_batch(b):
         return shard_batch(mesh, b) if mesh is not None else b
 
+    def place_chain(bs):
+        """Stack K host batches to (K, B, ...); under a mesh the DATA axis is
+        axis 1 (axis 0 is the scan/chain axis — sharding it would split the
+        chain, not the batch)."""
+        stacked = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from clip_lora_match_tpu.parallel import DATA_AXIS
+
+            stacked = {
+                k: jax.device_put(
+                    v,
+                    NamedSharding(
+                        mesh, P(None, DATA_AXIS, *([None] * (v.ndim - 2)))
+                    ),
+                )
+                for k, v in stacked.items()
+            }
+        return stacked
+
     os.makedirs(train_cfg.output_dir, exist_ok=True)
     metrics = MetricsWriter(
         metrics_path
@@ -182,6 +214,7 @@ def train(
             result, state, train_step, eval_step, train_ds, val_ds,
             train_cfg, lora_cfg, steps_per_epoch, max_steps_per_epoch,
             place_batch, metrics, ckpt, start_epoch, t0,
+            chained_step=chained_step, place_chain=place_chain,
         )
     finally:
         # restore whatever dispatch an encoder in this process had set up —
@@ -195,8 +228,9 @@ def train(
 def _run_epochs(
     result, state, train_step, eval_step, train_ds, val_ds, train_cfg,
     lora_cfg, steps_per_epoch, max_steps_per_epoch, place_batch, metrics,
-    ckpt, start_epoch, t0,
+    ckpt, start_epoch, t0, chained_step=None, place_chain=None,
 ):
+    K = train_cfg.chain_steps if chained_step is not None else 1
     for epoch in range(start_epoch, train_cfg.num_epochs):
         it = prefetch(
             batch_iterator(
@@ -207,28 +241,73 @@ def _run_epochs(
         # Losses stay DEVICE arrays inside the hot loop — float() forces a
         # device→host sync per step, which through the relay costs a full
         # round trip each step; materialize only at the logging cadence.
+        # ``pending`` holds per-micro-step device scalars (chained dispatches
+        # contribute their full K-vector, so the logged trajectory is
+        # identical to an unchained run).
         pending: list = []
-        for i, batch in enumerate(it):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            state, m = train_step(state, place_batch(batch))
-            pending.append(m)
-            result.steps += 1
-            if result.steps % train_cfg.logging_steps == 0:
-                losses = [float(p["loss"]) for p in pending]
+        last_grad_norm = None
+        i = 0
+        chain_buf: list = []
+
+        def flush_chain():
+            nonlocal state, pending, last_grad_norm, chain_buf
+            if not chain_buf:
+                return
+            if len(chain_buf) == K and chained_step is not None:
+                state, m = chained_step(state, place_chain(chain_buf))
+                # keep the K-vector as ONE device array — per-element reads
+                # would pay a relay round trip each
+                pending.append(m["losses"])
+                last_grad_norm = m["grad_norm"]
+            else:  # ragged tail (or K=1): one dispatch per step
+                for b in chain_buf:
+                    state, m = train_step(state, place_batch(b))
+                    pending.append(m["loss"])
+                    last_grad_norm = m["grad_norm"]
+            chain_buf = []
+
+        def maybe_log():
+            nonlocal pending
+            # running-loss print cadence (ref:train_lora.py:204-211); with
+            # chaining the boundary lands on the first dispatch at/after it
+            n_pending = sum(
+                int(p.shape[0]) if getattr(p, "ndim", 0) else 1
+                for p in pending
+            )
+            if pending and result.steps % train_cfg.logging_steps < n_pending:
+                losses = [
+                    float(v)
+                    for p in pending
+                    for v in np.atleast_1d(np.asarray(p))
+                ]
                 result.train_losses.extend(losses)
-                # running-loss print cadence (ref:train_lora.py:204-211)
                 log.info(
                     "epoch %d step %d/%d loss %.4f (run avg %.4f) %.1f s",
-                    epoch + 1, i + 1, steps_per_epoch, losses[-1],
+                    epoch + 1, i, steps_per_epoch, losses[-1],
                     float(np.mean(losses)), time.time() - t0,
                 )
                 metrics.write(
                     "train_step", epoch=epoch + 1, step=result.steps,
-                    loss=losses[-1], grad_norm=float(pending[-1]["grad_norm"]),
+                    loss=losses[-1], grad_norm=float(last_grad_norm),
                 )
                 pending = []
-        result.train_losses.extend(float(p["loss"]) for p in pending)
+
+        for i, batch in enumerate(it, start=1):
+            if max_steps_per_epoch and i > max_steps_per_epoch:
+                i -= 1
+                break
+            chain_buf.append(batch)
+            if len(chain_buf) == K:
+                flush_chain()
+                result.steps += K
+                maybe_log()
+        flushed = len(chain_buf)
+        flush_chain()
+        result.steps += flushed
+        maybe_log()
+        result.train_losses.extend(
+            float(v) for p in pending for v in np.atleast_1d(np.asarray(p))
+        )
 
         # per-epoch validation loss (ref:train_lora.py:214-241)
         if val_ds is not None and len(val_ds) < train_cfg.batch_size:

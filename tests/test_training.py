@@ -308,6 +308,39 @@ def test_train_e2e_and_resume(csv_dataset, tmp_path):
     assert res2.steps == 0 and res2.epochs == 0  # nothing left to do
 
 
+def test_train_chained_matches_unchained(csv_dataset, tmp_path):
+    """chain_steps=2 (K optimizer steps per dispatch incl. a ragged tail)
+    must reproduce the unchained run's loss trajectory and final adapter —
+    the chained loop is a dispatch-batching optimization, not a recipe
+    change. 5 steps/epoch = 2 full chains + 1 ragged single per epoch."""
+    from clip_lora_match_tpu.train import train
+
+    csv_path, root = csv_dataset
+    common = dict(
+        seed=42, batch_size=4, learning_rate=5e-3, num_epochs=1,
+        logging_steps=2, train_csv=csv_path, val_csv=csv_path,
+        image_root_dir=root, temperature=0.07, resume=False,
+    )
+    tok = ClipTokenizer.from_dir(None, max_length=16)
+    res1 = train(
+        lora_cfg=LORA, arch=ARCH, tokenizer=tok,
+        train_cfg=TrainingConfig(output_dir=str(tmp_path / "a"), **common),
+    )
+    res2 = train(
+        lora_cfg=LORA, arch=ARCH, tokenizer=tok,
+        train_cfg=TrainingConfig(
+            output_dir=str(tmp_path / "b"), chain_steps=2, **common
+        ),
+    )
+    assert res1.steps == res2.steps == 5
+    np.testing.assert_allclose(res2.train_losses, res1.train_losses, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res1.final_lora),
+        jax.tree_util.tree_leaves(res2.final_lora),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
 def test_grain_pipeline_matches_contract(csv_dataset):
     """Optional grain backend yields the same batch contract."""
     pytest.importorskip("grain")
