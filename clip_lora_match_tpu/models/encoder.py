@@ -338,10 +338,17 @@ class ClipEncoder:
                     num_threads=num_threads,
                 )
 
+        from collections import deque
+
         fn = self._image_fn_u8(normalize)
         out = np.empty((n, self.arch.projection_dim), np.float32)
         row = 0
-        pending = None  # (device_array, row, b): readback delayed one batch
+        # Readback lags dispatch by up to 3 batches: jax dispatch is async,
+        # so keeping several batches in flight lets the device (and, through
+        # the relay, its round-trip latency) overlap host-side readbacks —
+        # with a single pending slot each loop iteration blocked on batch
+        # i-1 while only batch i was queued, serializing RTT per batch.
+        pending: deque = deque()  # (device_array, row, b)
         for u8 in prefetch(batches(), depth=2):
             b = u8.shape[0]
             bb = _bucket(b)
@@ -350,13 +357,13 @@ class ClipEncoder:
                     [u8, np.zeros((bb - b,) + u8.shape[1:], u8.dtype)]
                 )
             emb = fn(self._serving_params(), self.lora, jnp.asarray(u8))
-            if pending is not None:
-                p_emb, p_row, p_b = pending
+            pending.append((emb, row, b))
+            if len(pending) > 3:
+                p_emb, p_row, p_b = pending.popleft()
                 out[p_row : p_row + p_b] = np.asarray(p_emb[:p_b])
-            pending = (emb, row, b)
             row += b
-        if pending is not None:
-            p_emb, p_row, p_b = pending
+        while pending:
+            p_emb, p_row, p_b = pending.popleft()
             out[p_row : p_row + p_b] = np.asarray(p_emb[:p_b])
         return out
 

@@ -10,6 +10,11 @@ def main():
     p.add_argument("--config", default=DEFAULT_LORA_CONFIG)
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     p.add_argument(
+        "--chain-steps", type=int, default=None,
+        help="K optimizer steps per device dispatch (amortizes relay/launch "
+        "overhead; bit-equal trajectory — see TrainingConfig.chain_steps)",
+    )
+    p.add_argument(
         "--arch", choices=["vit-b32", "tiny"], default="vit-b32",
         help="'tiny' trains a miniature tower (CPU-friendly smoke runs)",
     )
@@ -17,6 +22,15 @@ def main():
     args = p.parse_args()
 
     from clip_lora_match_tpu.train import train
+
+    train_cfg = None
+    if args.chain_steps is not None:
+        import dataclasses
+
+        from clip_lora_match_tpu.core.config import load_lora_config
+
+        _, train_cfg = load_lora_config(args.config)
+        train_cfg = dataclasses.replace(train_cfg, chain_steps=args.chain_steps)
 
     arch = None
     if args.arch == "tiny":
@@ -31,6 +45,7 @@ def main():
 
     result = train(
         config_path=args.config,
+        train_cfg=train_cfg,
         weights_path=args.weights,
         arch=arch,
         max_steps_per_epoch=args.max_steps_per_epoch,
