@@ -219,6 +219,14 @@ class TrainingConfig:
     # the math (bit-equal to K single steps, tested); logging granularity
     # coarsens to per-chain mean loss.
     chain_steps: int = 1
+    # text_seq_slice: drop trailing text columns that are all-padding down
+    # to this width before dispatch (0 disables). Provably output-identical
+    # under the causal mask (trailing pads can't influence earlier
+    # positions or the EOT pooling) — 77→64 cuts text-tower FLOPs ~17%.
+    # Dropout draws are shape-dependent, so a sliced run's trajectory is
+    # statistically equivalent but not bitwise-reproducing of a 77-wide
+    # run; set 0 to reproduce pre-slice trajectories exactly.
+    text_seq_slice: int = 64
 
 
 @dataclass(frozen=True)

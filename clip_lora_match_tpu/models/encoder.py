@@ -31,6 +31,11 @@ from clip_lora_match_tpu.preprocess.pipeline import ClipPreprocessor
 
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64, 96, 128, 256, 512, 1024)  # 96: v5e image sweet spot
 
+# Text sequence bucket: batches whose real tokens (attention_mask) all fit in
+# 64 columns are sliced 77→64 before dispatch — provably identical EOT-pooled
+# output (causal mask; see encode_text_batch), one extra jit bucket per shape.
+_TEXT_SEQ_SLICE = 64
+
 
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
@@ -286,6 +291,24 @@ class ClipEncoder:
             return np.zeros((0, self.arch.projection_dim), np.float32)
         if attention_mask is None:
             attention_mask = np.ones_like(input_ids)
+        # Sequence slicing: the wire contract pads every text to 77
+        # (docs/PARITY.md), but under causal masking trailing all-pad
+        # columns cannot influence the EOT-pooled embedding (same argument
+        # as the mask drop below), so when the whole batch's real tokens
+        # fit in 64 columns we compute at S=64 — 17% fewer tower FLOPs AND
+        # it brings the text tower under the small-attention kernel's
+        # S<=64 gate (ops/attention_small.py), which the always-77 shape
+        # kept it out of.
+        if (
+            input_ids.shape[1] > _TEXT_SEQ_SLICE
+            and not attention_mask[:, _TEXT_SEQ_SLICE:].any()
+            # belt-and-braces: the EOT pooling position must survive the
+            # slice for every row (guards a mask convention that didn't
+            # count the EOT as a real token)
+            and (input_ids[:, :_TEXT_SEQ_SLICE] == self.eot_id).any(axis=1).all()
+        ):
+            input_ids = input_ids[:, :_TEXT_SEQ_SLICE]
+            attention_mask = attention_mask[:, :_TEXT_SEQ_SLICE]
         b = _bucket(n)
         if b != n:
             pad_ids = np.full((b - n, input_ids.shape[1]), self.eot_id, input_ids.dtype)

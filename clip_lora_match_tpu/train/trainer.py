@@ -174,10 +174,52 @@ def train(
     def place_batch(b):
         return shard_batch(mesh, b) if mesh is not None else b
 
+    seq_slice = getattr(train_cfg, "text_seq_slice", 0) or 0
+    eot_id = tokenizer.eot_id
+
+    def slice_batch(b):
+        """Drop trailing all-padding text columns down to
+        ``train_cfg.text_seq_slice`` — exact under the causal mask (trailing
+        pads cannot influence earlier positions or the EOT pooling; same
+        argument as the serving-side slice in models/encoder.py). ~17% fewer
+        text-tower FLOPs fwd+bwd at 77→64."""
+        ids, mask = b["input_ids"], b["attention_mask"]
+        if (
+            seq_slice
+            and ids.shape[1] > seq_slice
+            and not mask[:, seq_slice:].any()
+            and (ids[:, :seq_slice] == eot_id).any(axis=1).all()
+        ):
+            b = dict(
+                b,
+                input_ids=ids[:, :seq_slice],
+                attention_mask=mask[:, :seq_slice],
+            )
+        return b
+
     def place_chain(bs):
         """Stack K host batches to (K, B, ...); under a mesh the DATA axis is
         axis 1 (axis 0 is the scan/chain axis — sharding it would split the
         chain, not the batch)."""
+        widths = {b["input_ids"].shape[1] for b in bs}
+        if len(widths) > 1:
+            # a rare unsliceable batch in a chain of sliced ones: re-pad to
+            # the widest (pad = EOT ids + 0 mask, exactly the suffix the
+            # slice removed — lossless)
+            w = max(widths)
+
+            def repad(b):
+                ids, mask = b["input_ids"], b["attention_mask"]
+                d = w - ids.shape[1]
+                if d == 0:
+                    return b
+                return dict(
+                    b,
+                    input_ids=np.pad(ids, ((0, 0), (0, d)), constant_values=eot_id),
+                    attention_mask=np.pad(mask, ((0, 0), (0, d))),
+                )
+
+            bs = [repad(b) for b in bs]
         stacked = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -215,6 +257,7 @@ def train(
             train_cfg, lora_cfg, steps_per_epoch, max_steps_per_epoch,
             place_batch, metrics, ckpt, start_epoch, t0,
             chained_step=chained_step, place_chain=place_chain,
+            slice_batch=slice_batch,
         )
     finally:
         # restore whatever dispatch an encoder in this process had set up —
@@ -229,7 +272,10 @@ def _run_epochs(
     result, state, train_step, eval_step, train_ds, val_ds, train_cfg,
     lora_cfg, steps_per_epoch, max_steps_per_epoch, place_batch, metrics,
     ckpt, start_epoch, t0, chained_step=None, place_chain=None,
+    slice_batch=None,
 ):
+    if slice_batch is None:
+        slice_batch = lambda b: b  # noqa: E731
     K = train_cfg.chain_steps if chained_step is not None else 1
     for epoch in range(start_epoch, train_cfg.num_epochs):
         it = prefetch(
@@ -296,7 +342,7 @@ def _run_epochs(
             if max_steps_per_epoch and i > max_steps_per_epoch:
                 i -= 1
                 break
-            chain_buf.append(batch)
+            chain_buf.append(slice_batch(batch))
             if len(chain_buf) == K:
                 flush_chain()
                 result.steps += K

@@ -108,3 +108,45 @@ def test_finder_persists_legacy_pt(tmp_path, tiny_encoder):  # noqa: F811
     assert raw["embeddings"].shape == (1, TINY.projection_dim)
     loaded = EmbeddingIndex.load(str(tmp_path / "legacy.pt"))
     assert loaded.texts[0] == "tas merah, ditemukan di gerbang"
+
+
+def test_text_seq_slice_matches_full_width(tiny_encoder):  # noqa: F811
+    """Batches whose real tokens fit in 64 columns are sliced 77→64 before
+    dispatch (models/encoder.py::_TEXT_SEQ_SLICE); under the causal mask the
+    dropped all-pad columns cannot influence the EOT-pooled embedding, so
+    the output must equal the full-width compute."""
+    enc = tiny_encoder
+    pp = enc.preprocessor.preprocess_text(
+        ["tas pink kecil", "dompet coklat", "sepatu hijau"]
+    )
+    ids, mask = np.asarray(pp["input_ids"]), np.asarray(pp["attention_mask"])
+    assert ids.shape[1] == 77 and not mask[:, 64:].any()
+    sliced = enc.encode_text_batch(ids, mask)
+    # defeat the slice via a mask bit past 64 — serving drops the padding
+    # mask (provably output-neutral, see _text_fn), so this only changes
+    # the dispatch width, not the math
+    full_mask = mask.copy()
+    full_mask[0, -1] = 1
+    full = enc.encode_text_batch(ids, full_mask)
+    np.testing.assert_allclose(sliced, full, atol=1e-5)
+
+
+def test_text_seq_slice_guards_eot_position(tiny_encoder):  # noqa: F811
+    """If a row's first EOT sits past the slice boundary (a mask convention
+    that doesn't count the EOT), the slice must not fire — output equals the
+    full-width compute either way."""
+    enc = tiny_encoder
+    eot = enc.eot_id
+    ids = np.full((2, 77), 0, np.int32)
+    ids[:, 0] = 1
+    ids[0, 10] = eot
+    ids[0, 11:] = eot
+    ids[1, 70] = eot  # first EOT past 64
+    ids[1, 71:] = eot
+    mask = np.zeros_like(ids)
+    mask[:, :5] = 1  # mask says "fits in 64" for both rows
+    out = enc.encode_text_batch(ids, mask)
+    full_mask = mask.copy()
+    full_mask[0, -1] = 1
+    full = enc.encode_text_batch(ids, full_mask)
+    np.testing.assert_allclose(out, full, atol=1e-5)

@@ -450,3 +450,46 @@ def test_checkpoint_resume_across_rng_impl_change(tmp_path):
         np.asarray(jax.random.key_data(restored.rng)),
         np.asarray(jax.random.key_data(restored2.rng)),
     )
+
+
+def test_train_text_seq_slice_equivalence(csv_dataset, tmp_path):
+    """text_seq_slice=64 drops trailing all-pad text columns before dispatch
+    (trainer.slice_batch). With LoRA dropout off the math is exact (causal
+    mask: trailing pads unreachable), so the loss trajectory must match a
+    text_seq_slice=0 run; chain_steps=2 on the sliced run also exercises
+    chain-stacking of sliced batches."""
+    import dataclasses
+
+    from clip_lora_match_tpu.train import train
+
+    csv_path, root = csv_dataset
+    arch77 = dataclasses.replace(ARCH, max_text_length=77)
+    lora0 = LoraConfig(r=2, alpha=4, dropout=0.0)
+    tok = ClipTokenizer.from_dir(None, max_length=77)
+    common = dict(
+        seed=42, batch_size=4, learning_rate=5e-3, num_epochs=1,
+        logging_steps=2, train_csv=csv_path, val_csv=csv_path,
+        image_root_dir=root, temperature=0.07, resume=False,
+    )
+    res_full = train(
+        lora_cfg=lora0, arch=arch77, tokenizer=tok,
+        train_cfg=TrainingConfig(
+            output_dir=str(tmp_path / "full"), text_seq_slice=0, **common
+        ),
+    )
+    res_sliced = train(
+        lora_cfg=lora0, arch=arch77, tokenizer=tok,
+        train_cfg=TrainingConfig(
+            output_dir=str(tmp_path / "sliced"), text_seq_slice=64,
+            chain_steps=2, **common
+        ),
+    )
+    assert res_full.steps == res_sliced.steps == 5
+    np.testing.assert_allclose(
+        res_sliced.train_losses, res_full.train_losses, rtol=2e-5, atol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res_full.final_lora),
+        jax.tree_util.tree_leaves(res_sliced.final_lora),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
