@@ -76,3 +76,26 @@ def test_eval_similarity_cli(tmp_path):
               "--iters", "3"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "queries/sec" in r.stdout
+
+
+def test_train_lora_cli_chain_steps(tmp_path):
+    """--chain-steps plumbs TrainingConfig.chain_steps through the CLI; the
+    tiny-arch run must complete with a finite loss (trajectory equality to
+    unchained is pinned at trainer level in test_training.py)."""
+    cfg = tmp_path / "lora.yaml"
+    cfg.write_text(
+        "training:\n"
+        f"  output_dir: {tmp_path / 'out'}\n"
+        "  batch_size: 8\n"
+        "  num_epochs: 1\n"
+        "data:\n"
+        "  train_csv: data/text/train_fashion.csv\n"
+        "  val_csv: data/text/val_fashion.csv\n"
+    )
+    r = _run([
+        "scripts/train_lora.py", "--arch", "tiny", "--config", str(cfg),
+        "--max-steps-per-epoch", "4", "--chain-steps", "2",
+    ], timeout=360)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "[train] done: 1 epochs, 4 steps" in r.stdout
+    assert "nan" not in r.stdout.lower()
