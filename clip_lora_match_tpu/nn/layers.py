@@ -43,6 +43,7 @@ _KERNEL_FLAGS = {
     "fused_lora": False,
     "flash_attention": False,
     "small_attention": False,
+    "fused_mlp": False,
     "interpret": False,
 }
 
@@ -60,6 +61,7 @@ def set_kernel_flags(
     fused_lora: bool | None = None,
     flash_attention: bool | str | None = None,
     small_attention: bool | None = None,
+    fused_mlp: bool | None = None,
     interpret: bool | None = None,
 ) -> dict:
     """Toggle Pallas kernel dispatch; returns the previous flags."""
@@ -70,6 +72,8 @@ def set_kernel_flags(
         _KERNEL_FLAGS["flash_attention"] = flash_attention
     if small_attention is not None:
         _KERNEL_FLAGS["small_attention"] = small_attention
+    if fused_mlp is not None:
+        _KERNEL_FLAGS["fused_mlp"] = fused_mlp
     if interpret is not None:
         _KERNEL_FLAGS["interpret"] = interpret
     return prev
@@ -351,6 +355,36 @@ def mlp(
 ) -> jnp.ndarray:
     kw = dict(lora_scaling=lora_scaling, compute_dtype=compute_dtype,
               lora_dropout=lora_dropout)
+
+    # Fused Pallas path: fc1 → quick-gelu → fc2 in one kernel, the (M, 4d)
+    # hidden never leaving VMEM (docs/DESIGN.md §7.8). Only when neither MLP
+    # matrix carries a LoRA adapter (the reference recipe adapts attention
+    # projections only, ref:config/lora_config.yaml) and the weights are
+    # plain (not int8-quantized). Differentiable via custom_vjp.
+    if (
+        _KERNEL_FLAGS["fused_mlp"]
+        and _lora_get(lora, "fc1") is None
+        and _lora_get(lora, "fc2") is None
+        and "kernel" in p["fc1"]
+        and "kernel" in p["fc2"]
+    ):
+        from clip_lora_match_tpu.ops.mlp_fused import mlp_fused
+
+        shape = x.shape
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        w1, b1 = p["fc1"]["kernel"], p["fc1"]["bias"]
+        w2, b2 = p["fc2"]["kernel"], p["fc2"]["bias"]
+        if compute_dtype is not None:
+            w1, w2 = w1.astype(compute_dtype), w2.astype(compute_dtype)
+        y = mlp_fused(
+            xc.reshape(-1, shape[-1]),
+            w1,
+            b1,
+            w2,
+            b2,
+            interpret=_KERNEL_FLAGS["interpret"],
+        )
+        return y.reshape(*shape[:-1], w2.shape[-1]).astype(x.dtype)
 
     def rng_for(i):
         if dropout_rng is None or lora_dropout <= 0.0:
