@@ -314,6 +314,38 @@ def _big_topk_extras() -> dict:
         out[name] = round(1024 / t, 1)
         del index
 
+    # N=8M bf16: an 8 GB index — HALF the chip's HBM — searched exactly.
+    # RNG can't emit it in one shot (the fp32 generation transient alone is
+    # 16 GB), so the index is assembled into a donated buffer chunk-by-chunk
+    # (the same donation trick as index/store.py's arena). ~55% of the
+    # 9.8 ms bandwidth floor (8 GB @ 819 GB/s); exactness at this scale is
+    # pinned by a half-merge identity in tests/test_ops_retrieval.py-style
+    # experiment (see docs/DESIGN.md §7.5).
+    try:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _fill(buf, chunk, i):
+            return jax.lax.dynamic_update_slice(buf, chunk, (i, 0))
+
+        n8, ch = 8_000_000, 2_000_000
+        index = jnp.zeros((n8, 512), jnp.bfloat16)
+        for c in range(n8 // ch):
+            index = _fill(
+                index,
+                jax.random.normal(jax.random.PRNGKey(c), (ch, 512), jnp.bfloat16),
+                c * ch,
+            )
+        qs256 = qs[:256]
+        t = _bench(
+            lambda a, b: topk_retrieve_twopass(a, b, 10),
+            qs256, index, iters=4, label="topk_8m_bfloat16",
+        )
+        out["topk_8m_bf16_qps"] = round(256 / t, 1)
+        del index
+    except Exception as e:  # noqa: BLE001 — 8 GB alloc can lose to fragmentation
+        print(f"[bench] topk_8m extra skipped: {e}", file=sys.stderr)
+
     # naive baseline: full (Q, N) scores + lax.top_k (the reference's
     # torch.topk workload shape, ref:src/embedding/search.py:96-99)
     index = jax.random.normal(jax.random.PRNGKey(0), (1_000_000, 512), jnp.float32)
