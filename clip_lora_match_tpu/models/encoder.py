@@ -92,10 +92,12 @@ class ClipEncoder:
             # serving dispatch (measured, docs/DESIGN.md §7.3): the
             # small-sequence attention kernel wins ~20% in-tower at the image
             # tower's S=50 but loses at the text tower's S=77 (pads to 128),
-            # so layers.py gates it at SMALL_ATTN_MAX_SEQ=64; flash handles
-            # long sequences via the "auto" crossover; fused-LoRA fuses the
-            # adapter delta into the base matmul. All TPU-only — CPU keeps
-            # the jnp oracle paths.
+            # so layers.py gates it at SMALL_ATTN_MAX_SEQ=64; flash "auto"
+            # resolves to XLA at every supported CLIP geometry (the r3
+            # in-tower table: flash loses at S=197/257/577 too) — the flag
+            # stays "auto" so a re-measured gate applies here without code
+            # changes; fused-LoRA fuses the adapter delta into the base
+            # matmul. All TPU-only — CPU keeps the jnp oracle paths.
             set_kernel_flags(
                 fused_lora=on_tpu,
                 flash_attention="auto",

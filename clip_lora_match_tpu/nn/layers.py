@@ -47,7 +47,14 @@ _KERNEL_FLAGS = {
     "interpret": False,
 }
 
-FLASH_MIN_SEQ = 128  # measured crossover on v5e (see docs/DESIGN.md §7.3)
+# r3 in-tower re-measurement (docs/DESIGN.md §7.3): the Pallas flash kernel
+# LOSES to XLA's fused attention at EVERY supported CLIP geometry on v5e —
+# S=197 (B/16, 2-3x), S=257 (L/14, 1.7x), S=577 (L/14-336, 1.3x) — and the
+# r2 isolated table already showed a 1.45x loss at S=1024. "auto" therefore
+# never dispatches flash on this hardware; the gate constant stays so future
+# hardware/geometries can re-measure and lower it, and explicit
+# flash_attention=True still forces the kernel.
+FLASH_MIN_SEQ = 1 << 30
 
 # The small-sequence kernel pads S up to a 64-row tile and keeps the whole
 # sequence in VMEM; measured on v5e it wins ~20% in-tower at S=50 (one tile,

@@ -150,30 +150,30 @@ def test_flash_attention_causal_mask():
 
 
 def test_flash_auto_dispatch_gates_by_seq_len(monkeypatch):
-    """'auto' resolves from the committed v5e crossover table: XLA below
-    FLASH_MIN_SEQ (CLIP's S=50/77), Pallas flash at/above it."""
+    """'auto' resolves from the measured v5e tables (DESIGN §7.3): XLA wins
+    at EVERY supported CLIP geometry (in-tower S=50/77/197/257/577 and the
+    isolated S=1024 row), so auto never picks flash; True still forces it."""
     from clip_lora_match_tpu.nn import layers
 
     monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", "auto")
-    assert not layers._use_flash(50)
-    assert not layers._use_flash(77)
-    assert layers._use_flash(layers.FLASH_MIN_SEQ)
-    assert layers._use_flash(512)
+    for s in (50, 77, 197, 257, 577, 1024, 4096):
+        assert not layers._use_flash(s)
+    assert layers._use_flash(layers.FLASH_MIN_SEQ)  # the gate itself still works
     monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", True)
     assert layers._use_flash(50)
     monkeypatch.setitem(layers._KERNEL_FLAGS, "flash_attention", False)
     assert not layers._use_flash(4096)
 
 
-def test_attention_flash_auto_matches_xla_path():
-    """End-to-end: attention under flash='auto' + interpret at S>=threshold
-    must match the plain XLA path numerically."""
+def test_attention_flash_forced_matches_xla_path():
+    """End-to-end: attention under flash_attention=True (forced — 'auto'
+    never dispatches it on v5e) + interpret must match the XLA path."""
     import jax
 
     from clip_lora_match_tpu.nn import layers
 
     rng = np.random.default_rng(3)
-    D, H, S, B = 64, 4, layers.FLASH_MIN_SEQ, 2
+    D, H, S, B = 64, 4, 128, 2
     p = {
         name: {
             "kernel": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.05),
@@ -185,7 +185,7 @@ def test_attention_flash_auto_matches_xla_path():
     prev = layers.set_kernel_flags(flash_attention=False, interpret=True)
     try:
         ref = layers.attention(p, x, H)
-        layers.set_kernel_flags(flash_attention="auto")
+        layers.set_kernel_flags(flash_attention=True)
         got = layers.attention(p, x, H)
     finally:
         layers.set_kernel_flags(**prev)
