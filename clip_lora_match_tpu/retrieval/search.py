@@ -39,6 +39,8 @@ class SearchIndex:
         index: EmbeddingIndex | str,
         encoder: Optional[ClipEncoder] = None,
         dim: int = 512,
+        approximate: bool = False,
+        recall_target: float = 0.95,
     ):
         # drop-in parity: the reference constructs from a path
         # (ref:src/embedding/search.py:24 ``TextSearchIndex(index_path)``)
@@ -46,6 +48,10 @@ class SearchIndex:
             index = EmbeddingIndex.load(str(index), dim=dim)
         self.index = index
         self.encoder = encoder
+        # opt-in approximate selection (lax.approx_max_k); exact by default —
+        # see top_k_similar's docstring for the measured dispatch rationale
+        self.approximate = approximate
+        self.recall_target = recall_target
 
     @classmethod
     def from_file(
@@ -72,7 +78,8 @@ class SearchIndex:
         # donated-buffer swap while we read would hand us a deleted array
         with self.index.lock:
             scores, idx = top_k_similar(
-                q, self.index.embeddings, k, assume_normalized=True
+                q, self.index.embeddings, k, assume_normalized=True,
+                approximate=self.approximate, recall_target=self.recall_target,
             )
         results = []
         for s, i in zip(scores, idx):
@@ -107,7 +114,8 @@ class SearchIndex:
             return [[] for _ in range(queries.shape[0])]
         with self.index.lock:
             scores, idx = top_k_similar(
-                queries, self.index.embeddings, k, assume_normalized=True
+                queries, self.index.embeddings, k, assume_normalized=True,
+                approximate=self.approximate, recall_target=self.recall_target,
             )
         out = []
         for qs, qi in zip(scores, idx):

@@ -65,6 +65,41 @@ def test_similarity_matches_numpy(rng):
     assert s2.shape == (3,)
 
 
+def test_approximate_topk(rng):
+    """Opt-in approx_max_k path: exact at recall_target=1.0, and at the
+    default target the returned set overlaps the oracle at >= target recall
+    (averaged; approx_max_k's guarantee is in expectation)."""
+    q = rng.normal(size=(16, 32)).astype(np.float32)
+    c = rng.normal(size=(2048, 32)).astype(np.float32)
+    k = 10
+    s_ex, i_ex = top_k_similar(q, c, k=k)
+    s_ap, i_ap = top_k_similar(q, c, k=k, approximate=True, recall_target=1.0)
+    np.testing.assert_array_equal(i_ap, i_ex)
+    np.testing.assert_allclose(s_ap, s_ex, atol=1e-5)
+    _, i95 = top_k_similar(q, c, k=k, approximate=True, recall_target=0.95)
+    recall = np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(i95, i_ex)]
+    )
+    assert recall >= 0.9
+    # single-query shape contract matches the exact path
+    s1, i1 = top_k_similar(q[0], c, k=3, approximate=True, recall_target=1.0)
+    assert s1.shape == (3,) and i1.shape == (3,)
+
+
+def test_search_index_approximate_flag(rng):
+    emb = rng.normal(size=(64, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = EmbeddingIndex(dim=16)
+    for i in range(64):
+        index.append(emb[i], f"p{i}", f"t{i}")
+    exact = SearchIndex(index)
+    approx = SearchIndex(index, approximate=True, recall_target=1.0)
+    r_ex = exact.search_with_embedding(emb[7], k=5)
+    r_ap = approx.search_with_embedding(emb[7], k=5)
+    assert [r.index for r in r_ap] == [r.index for r in r_ex]
+    assert r_ap[0].index == 7
+
+
 def test_index_append_and_search(rng):
     idx = EmbeddingIndex(dim=16)
     assert len(idx) == 0
