@@ -210,13 +210,17 @@ def main():
     t_txt64 = _bench(embed_texts, params, ids_j[:, :64], label="text_embed_s64")
     texts_per_sec_s64 = T / t_txt64
 
-    # --- fused retrieval qps (Pallas kernel on TPU; jnp oracle on CPU) ---
+    # --- retrieval qps at the serving scale (production auto dispatch: at
+    # N=40,960 that is the exact XLA dot+approx_max_k mid-band; the streaming
+    # Pallas kernel owns N<32k, two-pass owns N>=65k — DESIGN §7.5) ---
+    from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_auto
+
     N, D, Q, k = (40960, 512, 256, 10) if on_tpu else (4096, 512, 64, 10)
     index = rng.normal(size=(N, D)).astype(np.float32)
     index /= np.linalg.norm(index, axis=1, keepdims=True)
     qs = jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32))
     index_j = jnp.asarray(index)
-    topk_fn = topk_retrieve if on_tpu else topk_retrieve_reference
+    topk_fn = topk_retrieve_auto if on_tpu else topk_retrieve_reference
     # sub-ms per call: use long bursts so relay jitter doesn't dominate the
     # paired-burst subtraction
     t_topk = _bench(

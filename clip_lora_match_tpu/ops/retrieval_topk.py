@@ -470,11 +470,46 @@ def _topk_twopass_impl(
 TWOPASS_MIN_N = 65_536
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_retrieve_midscale(
+    queries: jnp.ndarray, index: jnp.ndarray, k: int = 5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact XLA path for the mid-scale band: one dot (query cast to the
+    index dtype, fp32 accumulation) + ``approx_max_k(recall_target=1.0)`` —
+    the fastest EXACT selector XLA offers (333 µs vs lax.top_k's 422 µs on
+    (256, 40960); DESIGN §7.5). In the band between the streaming kernel's
+    VMEM sweet spot and the two-pass crossover, materializing the (Q, N)
+    scores and letting this selector run beats the in-kernel streaming
+    extraction (measured: 546k vs 398-510k qps at N=40,960 bf16).
+    Same contract as topk_retrieve: queries raw, index L2-normalized."""
+    q = queries.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = jax.lax.dot_general(
+        q.astype(index.dtype), index, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k = min(k, index.shape[0])
+    s, i = jax.lax.approx_max_k(sims, k, recall_target=1.0)
+    return s, i.astype(jnp.int32)
+
+
+# Measured crossover (v5e, Q=256, D=512, k=10, docs/DESIGN.md §7.5): below
+# this the streaming kernel's VMEM-resident scan wins (6.1M qps at 8,192;
+# at 16-24k the two paths are within relay noise of each other); from here
+# to TWOPASS_MIN_N the XLA dot+approx_max_k exact path wins consistently
+# (546k vs 398-510k qps at 40,960 in the r3 median-of-5 table, 1.03-1.14x
+# at 32-49k in the third-wave re-measurement).
+MIDSCALE_MIN_N = 32_768
+
+
 def topk_retrieve_auto(
     queries: jnp.ndarray, index: jnp.ndarray, k: int = 5, **kw
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Size-based dispatch: streaming Pallas kernel for VMEM-friendly indexes,
-    exact two-pass for HBM-scale ones."""
-    if index.shape[0] >= TWOPASS_MIN_N:
+    """Size-based dispatch, all paths EXACT: streaming Pallas kernel at VMEM
+    scale, XLA dot+approx_max_k in the mid band, two-pass at HBM scale."""
+    n = index.shape[0]
+    if n >= TWOPASS_MIN_N:
         return topk_retrieve_twopass(queries, index, k)
+    if n >= MIDSCALE_MIN_N:
+        return topk_retrieve_midscale(queries, index, k)
     return topk_retrieve(queries, index, k, **kw)

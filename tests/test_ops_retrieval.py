@@ -194,13 +194,33 @@ def test_auto_dispatch_thresholds(monkeypatch):
         rt, "topk_retrieve_twopass", lambda *a, **k: calls.append("two") or (None, None)
     )
     monkeypatch.setattr(
+        rt, "topk_retrieve_midscale", lambda *a, **k: calls.append("mid") or (None, None)
+    )
+    monkeypatch.setattr(
         rt, "topk_retrieve", lambda *a, **k: calls.append("stream") or (None, None)
     )
     small = jnp.zeros((4, 8)), jnp.zeros((100, 8))
+    mid = jnp.zeros((4, 8)), jnp.zeros((rt.MIDSCALE_MIN_N, 8))
     big = jnp.zeros((4, 8)), jnp.zeros((rt.TWOPASS_MIN_N, 8))
     rt.topk_retrieve_auto(*small, k=2)
+    rt.topk_retrieve_auto(*mid, k=2)
     rt.topk_retrieve_auto(*big, k=2)
-    assert calls == ["stream", "two"]
+    assert calls == ["stream", "mid", "two"]
+
+
+def test_midscale_matches_oracle():
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_midscale,
+        topk_retrieve_reference,
+    )
+
+    rng = np.random.default_rng(21)
+    q = rng.normal(size=(16, 64)).astype(np.float32) * 2.0
+    idx = _norm_rows(rng.normal(size=(3000, 64)).astype(np.float32))
+    s, i = topk_retrieve_midscale(jnp.asarray(q), jnp.asarray(idx), 7)
+    s_ref, i_ref = topk_retrieve_reference(jnp.asarray(q), jnp.asarray(idx), 7)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
 
 
 def test_sharded_topk_matches_oracle():
