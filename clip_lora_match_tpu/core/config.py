@@ -143,6 +143,11 @@ class ClipConfig:
     # quantization of the transformer-block linears (quant/int8.py). TPU
     # serving only; training and parity paths always run full precision.
     quantize: str = "none"
+    # Persistent XLA compilation cache directory: a service restart replays
+    # compiled executables from disk instead of paying the 20-40 s cold
+    # compile per jit bucket (set to e.g. ".jax_cache"; None disables).
+    # Applied process-wide on first encoder construction.
+    compilation_cache_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.arch is None:
@@ -339,6 +344,7 @@ def load_clip_config(path: Optional[str] = None) -> ClipConfig:
         tokenizer_dir=model.get("tokenizer_dir"),
         use_pallas_kernels=model.get("use_pallas_kernels", True),
         quantize=model.get("quantize", "none"),
+        compilation_cache_dir=model.get("compilation_cache_dir"),
         arch=_arch_from_yaml(model),
     )
 

@@ -82,6 +82,15 @@ class ClipEncoder:
         self.preprocessor = ClipPreprocessor(config=self.cfg)
         self.eot_id = self.preprocessor.tokenizer.eot_id
         self._jit_cache: dict = {}
+        if self.cfg.compilation_cache_dir:
+            # Persistent executable cache: a service restart replays every
+            # warm jit bucket from disk instead of re-paying the 20-40 s
+            # cold compile. Process-wide (jax config), idempotent.
+            os.makedirs(self.cfg.compilation_cache_dir, exist_ok=True)
+            jax.config.update(
+                "jax_compilation_cache_dir", self.cfg.compilation_cache_dir
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         # full scan unroll is a measured ~5% serving win on TPU (removes the
         # per-layer scan machinery); keep scan form on CPU for compile speed
         self._unroll = True if jax.default_backend() == "tpu" else 1

@@ -374,6 +374,10 @@ def mlp(
         and _lora_get(lora, "fc2") is None
         and "kernel" in p["fc1"]
         and "kernel" in p["fc2"]
+        # the kernel signature requires biases (CLIP MLPs always have them;
+        # bias-free callers keep the XLA path, where bias is optional)
+        and p["fc1"].get("bias") is not None
+        and p["fc2"].get("bias") is not None
     ):
         from clip_lora_match_tpu.ops.mlp_fused import mlp_fused
 

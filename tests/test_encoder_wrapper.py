@@ -25,6 +25,35 @@ def test_bucket_padding_invariance(tiny_encoder):  # noqa: F811
     np.testing.assert_allclose(small, big, atol=1e-5)
 
 
+def test_compilation_cache_dir_applied(tmp_path):
+    """compilation_cache_dir threads YAML → config → process-wide jax config
+    and populates the directory after an encode (warm service restarts then
+    deserialize executables instead of recompiling)."""
+    cache = tmp_path / "xla_cache"
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    cfg = ClipConfig(
+        arch=TINY,
+        preprocess=PreprocessConfig(image_size=32),
+        compilation_cache_dir=str(cache),
+    )
+    params = jclip.init_params(jax.random.PRNGKey(0), TINY)
+    try:
+        enc = ClipEncoder(params, arch=TINY, config=cfg)
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert cache.is_dir()
+        enc.encode_text("tas pink")
+        # the tiny towers compile fast; min_compile_time 0.5 s may skip
+        # writes on CPU — the contract here is config application, not
+        # cache-hit timing (measured on TPU in docs/DESIGN.md)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5
+    finally:
+        # process-wide knobs: restore so the rest of the suite doesn't write
+        # executables into this test's (soon-deleted) tmp dir
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+
 def test_bucket_ladder_contains_v5e_sweet_spot():
     """96 sits between 64 and 128 (the measured v5e image sweet spot);
     _bucket rounds 65-96 to it instead of jumping to 128."""
