@@ -506,10 +506,12 @@ def topk_retrieve_auto(
     queries: jnp.ndarray, index: jnp.ndarray, k: int = 5, **kw
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Size-based dispatch, all paths EXACT: streaming Pallas kernel at VMEM
-    scale, XLA dot+approx_max_k in the mid band, two-pass at HBM scale."""
+    scale, XLA dot+approx_max_k in the mid band (bf16 indexes only — at f32
+    the r3 table has the two within noise: 516k vs 510k qps at 40,960, so
+    the kernel keeps the band), two-pass at HBM scale."""
     n = index.shape[0]
     if n >= TWOPASS_MIN_N:
         return topk_retrieve_twopass(queries, index, k)
-    if n >= MIDSCALE_MIN_N:
+    if n >= MIDSCALE_MIN_N and index.dtype == jnp.bfloat16:
         return topk_retrieve_midscale(queries, index, k)
     return topk_retrieve(queries, index, k, **kw)

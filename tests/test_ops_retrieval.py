@@ -200,12 +200,14 @@ def test_auto_dispatch_thresholds(monkeypatch):
         rt, "topk_retrieve", lambda *a, **k: calls.append("stream") or (None, None)
     )
     small = jnp.zeros((4, 8)), jnp.zeros((100, 8))
-    mid = jnp.zeros((4, 8)), jnp.zeros((rt.MIDSCALE_MIN_N, 8))
+    mid_bf16 = jnp.zeros((4, 8)), jnp.zeros((rt.MIDSCALE_MIN_N, 8), jnp.bfloat16)
+    mid_f32 = jnp.zeros((4, 8)), jnp.zeros((rt.MIDSCALE_MIN_N, 8))
     big = jnp.zeros((4, 8)), jnp.zeros((rt.TWOPASS_MIN_N, 8))
     rt.topk_retrieve_auto(*small, k=2)
-    rt.topk_retrieve_auto(*mid, k=2)
+    rt.topk_retrieve_auto(*mid_bf16, k=2)
+    rt.topk_retrieve_auto(*mid_f32, k=2)  # f32 mid band: streaming (tie at f32)
     rt.topk_retrieve_auto(*big, k=2)
-    assert calls == ["stream", "mid", "two"]
+    assert calls == ["stream", "mid", "stream", "two"]
 
 
 def test_midscale_matches_oracle():
