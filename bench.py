@@ -167,7 +167,14 @@ def main():
         )
         return clip_model.l2_normalize(feats)
 
-    t_img = _bench(embed_images, params, pix, label="image_embed")
+    # median of 3 paired-burst trials: relay noise is two-sided (slow wedges
+    # AND occasional impossible sub-floor subtraction artifacts — CLAUDE.md
+    # measurement discipline), so the median is the defensible figure; same
+    # protocol as the committed DESIGN tables
+    t_img = sorted(
+        _bench(embed_images, params, pix, label=f"image_embed({i})")
+        for i in range(3)
+    )[1]
     images_per_sec = B / t_img
     try:  # compiler-measured FLOPs → honest MFU for the headline too
         cost = embed_images.lower(params, pix).compile().cost_analysis()
