@@ -217,9 +217,10 @@ def main():
     t_txt64 = _bench(embed_texts, params, ids_j[:, :64], label="text_embed_s64")
     texts_per_sec_s64 = T / t_txt64
 
-    # --- retrieval qps at the serving scale (production auto dispatch: at
-    # N=40,960 that is the exact XLA dot+approx_max_k mid-band; the streaming
-    # Pallas kernel owns N<32k, two-pass owns N>=65k — DESIGN §7.5) ---
+    # --- retrieval qps at the serving scale (production auto dispatch; the
+    # index here is fp32 — the EmbeddingIndex default — so auto runs the
+    # streaming Pallas kernel; the bf16-only dot+approx_max_k mid-band is
+    # covered by topk_40k_bf16_qps below — DESIGN §7.5) ---
     from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_auto
 
     N, D, Q, k = (40960, 512, 256, 10) if on_tpu else (4096, 512, 64, 10)
@@ -235,19 +236,27 @@ def main():
     )
     qps = Q / t_topk
 
-    # realistic service-index scale (the reference ships 6-6k items): the
-    # streaming kernel's VMEM-resident regime, bf16 index
+    # bf16-index variants: 8k = realistic service scale (streaming kernel's
+    # VMEM regime), 40k = the bf16 mid-band (dot+approx_max_k) that the fp32
+    # headline above does not execute
     topk_8k = {}
     if on_tpu:
         try:
-            idx8k = jnp.asarray(index[:8192]).astype(jnp.bfloat16)
+            idx_bf16 = jnp.asarray(index).astype(jnp.bfloat16)
             t8 = _bench(
-                lambda a, b: topk_fn(a, b, k), qs, idx8k, iters=100,
+                lambda a, b: topk_fn(a, b, k), qs, idx_bf16[:8192], iters=100,
                 label="topk_8k",
             )
-            topk_8k = {"topk_8k_bf16_qps": round(Q / t8, 1)}
+            t40 = _bench(
+                lambda a, b: topk_fn(a, b, k), qs, idx_bf16, iters=60,
+                label="topk_40k_bf16",
+            )
+            topk_8k = {
+                "topk_8k_bf16_qps": round(Q / t8, 1),
+                "topk_40k_bf16_qps": round(Q / t40, 1),
+            }
         except Exception as e:
-            print(f"[bench] topk_8k extra failed: {e}", file=sys.stderr)
+            print(f"[bench] topk bf16 extras failed: {e}", file=sys.stderr)
 
     # --- HBM-scale retrieval (exact two-pass path, VERDICT r1 item 4) ---
     big_topk = {}

@@ -481,7 +481,14 @@ def topk_retrieve_midscale(
     VMEM sweet spot and the two-pass crossover, materializing the (Q, N)
     scores and letting this selector run beats the in-kernel streaming
     extraction (measured: 546k vs 398-510k qps at N=40,960 bf16).
-    Same contract as topk_retrieve: queries raw, index L2-normalized."""
+    Same contract as topk_retrieve: queries raw, index L2-normalized.
+
+    Precision note: on a bf16 index the normalized query is cast to bf16
+    before the dot (same rounding the two-pass path applies at HBM scale),
+    while the streaming kernel keeps fp32 queries — selection is exact over
+    the computed scores in all three regimes, but candidates separated by
+    less than bf16 query-rounding error can rank differently across the
+    MIDSCALE_MIN_N boundary."""
     q = queries.astype(jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     sims = jax.lax.dot_general(

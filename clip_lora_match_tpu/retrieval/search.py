@@ -55,9 +55,17 @@ class SearchIndex:
 
     @classmethod
     def from_file(
-        cls, path: str, encoder: Optional[ClipEncoder] = None, dim: int = 512
+        cls,
+        path: str,
+        encoder: Optional[ClipEncoder] = None,
+        dim: int = 512,
+        approximate: bool = False,
+        recall_target: float = 0.95,
     ) -> "SearchIndex":
-        return cls(EmbeddingIndex.load(path, dim=dim), encoder)
+        return cls(
+            EmbeddingIndex.load(path, dim=dim), encoder,
+            approximate=approximate, recall_target=recall_target,
+        )
 
     def search_with_embedding(
         self, query: np.ndarray, k: int = 5

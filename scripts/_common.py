@@ -52,3 +52,39 @@ def print_results(results, max_text: int = 70) -> None:
     for rank, r in enumerate(results, 1):
         text = (r.text or "")[:max_text]
         print(f"  {rank}. [{r.score:.4f}] {text}  ({r.image_path})")
+
+
+# -- measurement helpers (relay-safe timing protocol) --------------------------
+# One home for the sync + paired-burst discipline the experiment scripts
+# share (CLAUDE.md measurement discipline): block_until_ready alone can lie
+# on the axon relay, so completion is forced via a device→host transfer, and
+# paired bursts (N vs 3N iterations, one sync each) cancel the constant
+# dispatch/RTT overhead.
+
+
+def sync_device(out) -> None:
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
+    np.asarray(leaf)
+
+
+def paired_burst_time(fn, args, iters: int = 10, warmup: int = 2) -> float:
+    """Seconds per iteration by paired-burst subtraction."""
+    import time
+
+    for _ in range(warmup):
+        out = fn(*args)
+    sync_device(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync_device(out)
+    t1 = time.perf_counter()
+    for _ in range(3 * iters):
+        out = fn(*args)
+    sync_device(out)
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / (2 * iters), 1e-9)

@@ -12,7 +12,6 @@ Usage: python scripts/exp_flash_tower.py [--arch b16|l14|l14_336] [--batch B]
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -20,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+from scripts._common import paired_burst_time, sync_device  # noqa: E402
 
 from clip_lora_match_tpu.core.config import (  # noqa: E402
     VIT_B16,
@@ -33,26 +34,11 @@ from clip_lora_match_tpu.nn.layers import set_kernel_flags  # noqa: E402
 ARCHES = {"b32": VIT_B32, "b16": VIT_B16, "l14": VIT_L14, "l14_336": VIT_L14_336}
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    leaf.block_until_ready()
-    np.asarray(leaf)
+_sync = sync_device
 
 
 def bench(fn, args, iters=6):
-    for _ in range(2):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    t1 = time.perf_counter()
-    for _ in range(3 * iters):
-        out = fn(*args)
-    _sync(out)
-    t2 = time.perf_counter()
-    return max(((t2 - t1) - (t1 - t0)) / (2 * iters), 1e-9)
+    return paired_burst_time(fn, args, iters=iters)
 
 
 def main():
