@@ -75,9 +75,10 @@ def paired_burst_time(fn, args, iters: int = 10, warmup: int = 2) -> float:
     """Seconds per iteration by paired-burst subtraction."""
     import time
 
-    for _ in range(warmup):
-        out = fn(*args)
-    sync_device(out)
+    if warmup > 0:
+        for _ in range(warmup):
+            out = fn(*args)
+        sync_device(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)

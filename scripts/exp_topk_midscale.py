@@ -12,7 +12,6 @@ overhead). Run on a real TPU:
 import argparse
 import functools
 import statistics
-import time
 
 
 def main():
@@ -35,21 +34,10 @@ def main():
         topk_retrieve_twopass,
     )
 
-    def sync(o):
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        leaf.block_until_ready()
-        np.asarray(leaf)
+    from scripts._common import paired_burst_time
 
     def bench_once(fn, *a, iters=30):
-        def burst(n):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn(*a)
-            sync(out)
-            return time.perf_counter() - t0
-
-        t1, t3 = burst(iters), burst(3 * iters)
-        return max((t3 - t1) / (2 * iters), 1e-9)
+        return paired_burst_time(fn, a, iters=iters, warmup=0)
 
     rng = np.random.default_rng(0)
     Q, D, k = args.queries, 512, args.k

@@ -6,7 +6,6 @@ train/step.py (VERDICT r1 item 3). Prints ms/step + ex/s for each variant.
 
 import os
 import sys
-import time
 
 import numpy as np
 import jax
@@ -28,26 +27,13 @@ from clip_lora_match_tpu.train import (  # noqa: E402
 )
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    leaf.block_until_ready()
-    np.asarray(leaf)
+from scripts._common import paired_burst_time, sync_device  # noqa: E402
+
+_sync = sync_device
 
 
 def bench(fn, args, iters=6, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    t1 = time.perf_counter()
-    for _ in range(3 * iters):
-        out = fn(*args)
-    _sync(out)
-    t2 = time.perf_counter()
-    return max(((t2 - t1) - (t1 - t0)) / (2 * iters), 1e-9)
+    return paired_burst_time(fn, args, iters=iters, warmup=warmup)
 
 
 def make_batch(rng, arch, B):
