@@ -4,6 +4,9 @@ from clip_lora_match_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     data_sharded,
+    global_batch_from_local,
+    global_replicated,
+    global_shard_batch,
     make_mesh,
     pad_to_multiple,
     replicated,
@@ -32,6 +35,9 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "data_sharded",
+    "global_batch_from_local",
+    "global_replicated",
+    "global_shard_batch",
     "make_mesh",
     "pad_to_multiple",
     "replicated",

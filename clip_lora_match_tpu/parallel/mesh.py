@@ -60,3 +60,66 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.nda
     pad_width = [(0, 0)] * x.ndim
     pad_width[axis] = (0, target - n)
     return np.pad(x, pad_width), n
+
+
+# --- Multi-host placement -------------------------------------------------
+#
+# ``shard_batch``/``jax.device_put`` assume every mesh device is addressable
+# by this process. On a multi-host mesh (jax.distributed.initialize, DCN or
+# multi-slice — SURVEY §2.4/§5) each process only owns its local chips, so
+# global arrays must be assembled from per-process pieces. The helpers below
+# work on BOTH single- and multi-process meshes; tests exercise them with two
+# real OS processes over gloo (tests/test_multihost.py).
+
+
+def _make_global(x, sharding: NamedSharding):
+    """Build a global array for ``sharding``; this process fills the shards it
+    can address from the FULL host value ``x`` (identical on all processes)."""
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(x)
+        data = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(data.shape, sharding, lambda idx: data[idx])
+        return jax.random.wrap_key_data(g, impl=impl)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def global_replicated(mesh: Mesh, tree):
+    """Replicate a host pytree onto a (possibly multi-process) mesh.
+
+    Every process must hold the same host values (e.g. same-seed init) —
+    the multi-host analogue of ``jax.device_put(tree, replicated(mesh))``.
+    """
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: _make_global(x, rep), tree)
+
+
+def global_shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """``shard_batch`` for meshes that may span processes.
+
+    Every process holds the FULL global batch; each contributes the rows its
+    devices own. Leading dims must divide the data-axis size.
+    """
+    return {
+        k: _make_global(v, data_sharded(mesh, rank=np.ndim(v)))
+        for k, v in batch.items()
+    }
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble a global batch where each process holds ONLY its rows.
+
+    The real multi-host input-pipeline path: host i loads rows
+    ``[i*B_local, (i+1)*B_local)`` and never sees the rest. Global leading
+    dim = local leading dim × process_count; processes must pass equal-sized
+    locals in process-index order.
+    """
+    out = {}
+    for k, v in local_batch.items():
+        v = np.asarray(v)
+        sharding = data_sharded(mesh, rank=v.ndim)
+        gshape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(sharding, v, gshape)
+    return out

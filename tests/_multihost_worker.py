@@ -1,0 +1,142 @@
+"""Shared worker for the real multi-process (multi-host) test.
+
+Run as a script by ``tests/test_multihost.py`` in TWO OS processes (4 virtual
+CPU devices each, gloo collectives), and imported in-process for the
+single-process 8-device reference run. Both execute the IDENTICAL SPMD
+program: the production ``make_train_step`` over an 8-way data mesh with
+global-batch InfoNCE — the multi-host story SURVEY §2.4/§5 specifies
+("jax.distributed.initialize for multi-host", collectives over ICI/DCN).
+
+Determinism contract: same seeds → same params/state on every process; the
+global batch is derived from one numpy seed so the 2-process and 1-process
+runs see byte-identical data.
+"""
+
+import json
+import sys
+
+
+def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
+        out_path=None, n_devices=8):
+    sys.path.insert(0, repo_root)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import numpy as np
+
+    from clip_lora_match_tpu.core.config import (
+        ClipArchConfig,
+        LoraConfig,
+        TrainingConfig,
+    )
+    from clip_lora_match_tpu.lora.adapter import init_lora
+    from clip_lora_match_tpu.models import clip as clip_model
+    from clip_lora_match_tpu.parallel import (
+        global_batch_from_local,
+        global_replicated,
+        global_shard_batch,
+        make_mesh,
+    )
+    from clip_lora_match_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    if num_processes > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from clip_lora_match_tpu.parallel import initialize_distributed
+
+        multi = initialize_distributed(
+            coordinator_address=f"127.0.0.1:{coordinator_port}",
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        assert multi, "explicit multi-host init must not fall back"
+    else:
+        multi = False
+    assert jax.device_count() == n_devices, jax.device_count()
+
+    mesh = make_mesh(n_data=n_devices)
+
+    # same tiny-but-real geometry as the driver dry run
+    arch = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+        vision_heads=4, vision_mlp_dim=128, vocab_size=600, max_text_length=16,
+        text_width=32, text_layers=2, text_heads=4, text_mlp_dim=64,
+        projection_dim=16,
+    )
+    lora_cfg = LoraConfig(r=4, alpha=8)
+    train_cfg = TrainingConfig(batch_size=n_devices * 2)
+
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    lora = init_lora(jax.random.PRNGKey(1), arch, lora_cfg)
+    tx, _ = make_optimizer(train_cfg, total_steps=10)
+    state = init_train_state(lora, tx, seed=0)
+    step = make_train_step(params, arch, lora_cfg, train_cfg, tx, eot_id=513)
+
+    rng = np.random.default_rng(0)
+    B = train_cfg.batch_size
+    ids = np.full((B, arch.max_text_length), 513, np.int32)
+    ids[:, 0] = 512
+    ids[:, 1] = rng.integers(0, 512, B)
+    batch = {
+        "pixel_values": rng.normal(
+            size=(B, arch.image_size, arch.image_size, 3)
+        ).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+
+    def scalar(x):
+        # global arrays are fully replicated; read the local copy
+        return float(np.asarray(x.addressable_shards[0].data))
+
+    with mesh:
+        params_g = global_replicated(mesh, params)
+        state_g = global_replicated(mesh, state)
+        batch_g = global_shard_batch(mesh, batch)
+
+        losses = []
+        for _ in range(2):
+            state_g, metrics = step.inner(params_g, state_g, batch_g)
+            losses.append(scalar(metrics["loss"]))
+
+        # the per-host data path: each process contributes only ITS rows —
+        # must assemble to exactly the same global batch
+        rows_per_proc = B // jax.process_count()
+        lo = process_id * rows_per_proc
+        local = {k: v[lo:lo + rows_per_proc] for k, v in batch.items()}
+        from_local = global_batch_from_local(mesh, local)
+        deltas = [
+            scalar(
+                jax.jit(
+                    lambda a, b: jax.numpy.max(
+                        jax.numpy.abs(
+                            a.astype(jax.numpy.float32)
+                            - b.astype(jax.numpy.float32)
+                        )
+                    )
+                )(from_local[k], batch_g[k])
+            )
+            for k in sorted(batch)
+        ]
+
+    result = {
+        "losses": losses,
+        "multi": bool(multi),
+        "process_count": jax.process_count(),
+        "device_count": jax.device_count(),
+        "from_local_max_delta": max(deltas),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+if __name__ == "__main__":
+    repo, pid, nproc, port, out = sys.argv[1:6]
+    run(repo, int(pid), int(nproc), int(port), out)
