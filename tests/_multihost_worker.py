@@ -17,7 +17,7 @@ import sys
 
 
 def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
-        out_path=None, n_devices=8):
+        out_path=None, n_devices=8, ckpt_dir=None):
     sys.path.insert(0, repo_root)
     import jax
 
@@ -124,12 +124,36 @@ def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
             for k in sorted(batch)
         ]
 
+        # checkpoint/resume across the process boundary: every process calls
+        # save/restore collectively (orbax coordinates; primary writes).
+        # DP state is fully replicated so device_get inside the manager works
+        # per-process; the restored host state re-enters the mesh through
+        # global_replicated — the same placement path real resume uses.
+        resumed_loss = None
+        if ckpt_dir is not None:
+            from clip_lora_match_tpu.train import CheckpointManager
+
+            mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+            mgr.save(2, jax.device_get(state_g), epoch=1)
+            template = init_train_state(lora, tx, seed=0)
+            restored, epoch = mgr.restore(template)
+            assert restored is not None and epoch == 1
+            mgr.close()
+            restored_g = global_replicated(mesh, restored)
+            _, m3 = step.inner(params_g, restored_g, batch_g)
+            resumed_loss = scalar(m3["loss"])
+            # the same step from the live (unsaved) state must match exactly
+            _, m3_live = step.inner(params_g, state_g, batch_g)
+            assert resumed_loss == scalar(m3_live["loss"]), (
+                resumed_loss, scalar(m3_live["loss"]))
+
     result = {
         "losses": losses,
         "multi": bool(multi),
         "process_count": jax.process_count(),
         "device_count": jax.device_count(),
         "from_local_max_delta": max(deltas),
+        "resumed_loss": resumed_loss,
     }
     if out_path:
         with open(out_path, "w") as f:
@@ -139,4 +163,5 @@ def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
 
 if __name__ == "__main__":
     repo, pid, nproc, port, out = sys.argv[1:6]
-    run(repo, int(pid), int(nproc), int(port), out)
+    ckpt = sys.argv[6] if len(sys.argv) > 6 else None
+    run(repo, int(pid), int(nproc), int(port), out, ckpt_dir=ckpt)

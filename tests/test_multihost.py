@@ -49,9 +49,11 @@ def test_two_process_train_step_matches_single_process(repo_root, tmp_path):
     )
     worker = os.path.join(repo_root, "tests", "_multihost_worker.py")
     outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
+    ckpt_dir = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, repo_root, str(i), "2", str(port), outs[i]],
+            [sys.executable, worker, repo_root, str(i), "2", str(port),
+             outs[i], ckpt_dir],
             env=env,
             cwd=repo_root,
             stdout=subprocess.PIPE,
@@ -84,12 +86,21 @@ def test_two_process_train_step_matches_single_process(repo_root, tmp_path):
         assert r["from_local_max_delta"] == 0.0
     # both controllers of one SPMD program observe the same loss
     assert results[0]["losses"] == results[1]["losses"]
+    # collective checkpoint save/restore happened and resumed exactly
+    assert results[0]["resumed_loss"] == results[1]["resumed_loss"]
+    assert results[0]["resumed_loss"] is not None
 
     # single-process 8-device reference, same program (runs inline: the
     # suite's conftest already provides the 8-device CPU platform)
-    ref = _load_worker(repo_root).run(repo_root, num_processes=1)
+    ref = _load_worker(repo_root).run(
+        repo_root, num_processes=1, ckpt_dir=str(tmp_path / "ckpt_ref")
+    )
     assert ref["multi"] is False
     np.testing.assert_allclose(
         results[0]["losses"], ref["losses"], rtol=2e-5,
         err_msg="2-process gloo run diverged from single-process reference",
+    )
+    np.testing.assert_allclose(
+        results[0]["resumed_loss"], ref["resumed_loss"], rtol=2e-5,
+        err_msg="2-process checkpoint resume diverged from single-process",
     )
