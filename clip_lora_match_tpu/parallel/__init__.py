@@ -5,6 +5,7 @@ from clip_lora_match_tpu.parallel.mesh import (
     MODEL_AXIS,
     data_sharded,
     global_batch_from_local,
+    global_put,
     global_replicated,
     global_shard_batch,
     make_mesh,
@@ -36,6 +37,7 @@ __all__ = [
     "MODEL_AXIS",
     "data_sharded",
     "global_batch_from_local",
+    "global_put",
     "global_replicated",
     "global_shard_batch",
     "make_mesh",

@@ -86,6 +86,12 @@ def _make_global(x, sharding: NamedSharding):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
+def global_put(mesh: Mesh, x, spec) -> jax.Array:
+    """Place one host array onto a (possibly multi-process) mesh with an
+    arbitrary PartitionSpec; every process must hold the full value."""
+    return _make_global(x, NamedSharding(mesh, spec))
+
+
 def global_replicated(mesh: Mesh, tree):
     """Replicate a host pytree onto a (possibly multi-process) mesh.
 

@@ -30,8 +30,17 @@ from clip_lora_match_tpu.ops.retrieval_topk import (
 
 def shard_index(mesh: Mesh, index) -> jax.Array:
     """Place (N, D) index rows sharded over the data axis (N must divide
-    evenly; use parallel.mesh.pad_to_multiple first)."""
-    return jax.device_put(index, NamedSharding(mesh, P(DATA_AXIS, None)))
+    evenly; use parallel.mesh.pad_to_multiple first).
+
+    On a multi-process mesh ``device_put`` cannot reach remote shards; the
+    rows each process owns are filled from its (full) host copy instead.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    if jax.process_count() > 1:
+        from clip_lora_match_tpu.parallel.mesh import global_put
+
+        return global_put(mesh, index, P(DATA_AXIS, None))
+    return jax.device_put(index, sharding)
 
 
 def sharded_topk_retrieve(

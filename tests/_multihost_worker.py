@@ -147,6 +147,33 @@ def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
             assert resumed_loss == scalar(m3_live["loss"]), (
                 resumed_loss, scalar(m3_live["loss"]))
 
+        # serving-side collectives across the process boundary: exact top-k
+        # over an index sharded over all 8 devices (4 per process), merged by
+        # all-gather-k — vs the single-device oracle on the full index
+        from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_reference
+        from clip_lora_match_tpu.retrieval.sharded import (
+            shard_index,
+            sharded_topk_retrieve,
+        )
+
+        idx_np = rng.normal(size=(64, 16)).astype(np.float32)
+        idx_np /= np.linalg.norm(idx_np, axis=1, keepdims=True)
+        q_np = idx_np[7:11] + 0.01 * rng.normal(size=(4, 16)).astype(np.float32)
+        idx_g = shard_index(mesh, idx_np)
+        s_sh, i_sh = sharded_topk_retrieve(
+            q_np, idx_g, k=5, mesh=mesh, use_kernel=False
+        )
+        s_ref, i_ref = jax.jit(
+            lambda q, e: topk_retrieve_reference(q, e, 5)
+        )(q_np, idx_np)
+        topk_exact = bool(
+            np.array_equal(np.asarray(i_sh.addressable_shards[0].data),
+                           np.asarray(i_ref.addressable_shards[0].data))
+            and np.allclose(np.asarray(s_sh.addressable_shards[0].data),
+                            np.asarray(s_ref.addressable_shards[0].data),
+                            rtol=1e-5, atol=1e-6)
+        )
+
     result = {
         "losses": losses,
         "multi": bool(multi),
@@ -154,6 +181,7 @@ def run(repo_root, process_id=0, num_processes=1, coordinator_port=None,
         "device_count": jax.device_count(),
         "from_local_max_delta": max(deltas),
         "resumed_loss": resumed_loss,
+        "topk_exact": topk_exact,
     }
     if out_path:
         with open(out_path, "w") as f:

@@ -84,6 +84,8 @@ def test_two_process_train_step_matches_single_process(repo_root, tmp_path):
         assert r["device_count"] == 8
         # per-host data loading assembles the identical global batch
         assert r["from_local_max_delta"] == 0.0
+        # cross-process sharded top-k matches the single-device oracle
+        assert r["topk_exact"] is True
     # both controllers of one SPMD program observe the same loss
     assert results[0]["losses"] == results[1]["losses"]
     # collective checkpoint save/restore happened and resumed exactly
