@@ -156,8 +156,14 @@ def encode_image_features(
     lora_dropout: float = 0.0,
     dropout_rng=None,
     unroll: int | bool = 1,
+    transformer_fn=None,
 ) -> jnp.ndarray:
-    """(B, H, W, 3) → (B, projection_dim) UN-normalized image features."""
+    """(B, H, W, 3) → (B, projection_dim) UN-normalized image features.
+
+    ``transformer_fn``: alternate stacked-transformer executor with
+    ``nn.layers.transformer``'s signature — the injection point for the
+    pipeline-parallel schedule (parallel/pp.py::make_pipeline_transformer).
+    """
     p = params["visual"]
     x = _patchify(pixel_values, arch.patch_size)
     x = linear(p["patch_embed"], x, compute_dtype=compute_dtype)
@@ -167,7 +173,7 @@ def encode_image_features(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embedding"].astype(x.dtype)
     x = layer_norm(p["ln_pre"], x, arch.layer_norm_eps)
-    x = transformer(
+    x = (transformer_fn or transformer)(
         p["blocks"],
         x,
         arch.vision_heads,
@@ -207,6 +213,7 @@ def encode_text_features(
     lora_dropout: float = 0.0,
     dropout_rng=None,
     unroll: int | bool = 1,
+    transformer_fn=None,
 ) -> jnp.ndarray:
     """(B, S) int ids → (B, projection_dim) UN-normalized text features.
 
@@ -214,13 +221,16 @@ def encode_text_features(
     ``ids == eot_id`` mask); with eot_id None, falls back to argmax of ids —
     valid because EOT is the largest id in both the real CLIP vocab and the
     fallback vocab, and padding uses the EOT token itself.
+
+    ``transformer_fn``: alternate stacked-transformer executor (see
+    ``encode_image_features``).
     """
     p = params["text"]
     B, S = input_ids.shape
     x = p["token_embedding"][input_ids]
     x = x + p["pos_embedding"][:S].astype(x.dtype)
     mask = _text_mask(attention_mask, S, x.dtype)
-    x = transformer(
+    x = (transformer_fn or transformer)(
         p["blocks"],
         x,
         arch.text_heads,

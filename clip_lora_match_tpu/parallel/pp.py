@@ -1,0 +1,311 @@
+"""Pipeline parallelism (GPipe) for the stacked CLIP towers.
+
+The reference is single-device (SURVEY §2.4: no DP/TP/PP anywhere); DP is the
+required strategy and TP ships in parallel/tp.py. This module adds the third
+axis of the scale-out story: **pipeline parallelism over the transformer
+depth**, built the TPU way —
+
+- The towers' params are already STACKED on a leading layer axis and executed
+  with ``lax.scan`` (nn/layers.py). PP is therefore *a sharding of that axis*:
+  stage ``s`` of ``n`` holds layers ``[s·L/n, (s+1)·L/n)`` — no param
+  restructuring, the (L, ...) tree just gets ``P('stage', ...)``.
+- The schedule is SPMD: one ``shard_map`` over the ``stage`` axis runs the
+  classic GPipe loop as a ``lax.scan`` over ``M + n - 1`` ticks. Every tick,
+  each stage runs its layer block on its current microbatch and hands the
+  activation to the next stage with ``lax.ppermute`` (a neighbor hop on the
+  ICI ring — the stage axis is the mesh's minor axis).
+- **Backward is derived, not scheduled**: the tick loop is differentiable
+  (``ppermute`` transposes to the reverse permutation, the scan transposes to
+  the reversed scan), so ``jax.value_and_grad`` through the pipeline yields a
+  correct reverse pipeline schedule automatically. Grad cotangents for the
+  stage-sharded params come out stage-sharded.
+
+Bubble fraction is the textbook ``(n-1)/(M+n-1)``; pick ``n_microbatches``
+≳ 4·n_stages to amortize. At ViT-B/32 depth (12 layers) PP is not *needed* —
+it exists so the framework scales to depths where it is, and is validated by
+equivalence tests (forward, grads, full train trajectory) on the virtual CPU
+mesh plus the driver's multichip dry run.
+
+Not supported inside the pipeline: LoRA dropout (per-layer rng threading
+across stages; train PP recipes set dropout=0) and the single-device Pallas
+serving kernels (same restriction as TP — set_kernel_flags defaults).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_lora_match_tpu.nn.layers import transformer
+from clip_lora_match_tpu.parallel.mesh import DATA_AXIS
+
+STAGE_AXIS = "stage"
+
+Params = dict[str, Any]
+
+
+def compat_shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    """shard_map across the jax 0.8 API rename (check_rep → check_vma)."""
+    try:
+        from jax import shard_map as _sm  # jax ≥ 0.8
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_rep,
+        )
+
+
+def make_pp_mesh(
+    n_stage: int,
+    n_data: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """(data, stage) mesh; stage is minor so ppermute hops ride neighbor ICI."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_stage
+    use = devices[: n_data * n_stage]
+    arr = np.array(use).reshape(n_data, n_stage)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
+def _path_in_blocks(path) -> bool:
+    return any(getattr(e, "key", None) == "blocks" for e in path)
+
+
+def clip_pp_pspecs(tree: Params) -> Params:
+    """Spec tree for a CLIP param tree or its LoRA mirror: stacked transformer
+    blocks shard the leading layer axis over ``stage``; everything else
+    (embeddings, LNs, projections, logit_scale) replicates — at CLIP scale
+    those are <2% of params."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: P(STAGE_AXIS) if _path_in_blocks(path) else P(),
+        tree,
+    )
+
+
+def shard_clip_pp(tree: Params, mesh: Mesh) -> Params:
+    """Place a CLIP param/LoRA tree on the mesh with PP shardings."""
+    specs = clip_pp_pspecs(tree)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def check_pp_divisibility(arch, n_stage: int) -> None:
+    for name, layers in (
+        ("vision", arch.vision_layers),
+        ("text", arch.text_layers),
+    ):
+        if layers % n_stage:
+            raise ValueError(
+                f"{name} tower has {layers} layers, not divisible by "
+                f"stage-axis size {n_stage}"
+            )
+
+
+def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
+    """A drop-in for ``nn.layers.transformer`` that runs the stacked blocks
+    as a GPipe pipeline over ``mesh``'s stage axis.
+
+    blocks / lora_blocks leaves must be placed (or placeable) with
+    ``P('stage', ...)`` on the leading layer axis; x with ``P('data', ...)``.
+    The local batch (global B / n_data) must divide by ``n_microbatches``.
+    """
+    n_stages = mesh.shape[STAGE_AXIS]
+    M = n_microbatches
+
+    def pipeline_transformer(
+        blocks: Params,
+        x: jnp.ndarray,
+        num_heads: int,
+        mask: Optional[jnp.ndarray] = None,
+        lora_blocks: Optional[Params] = None,
+        lora_scaling: float = 1.0,
+        eps: float = 1e-5,
+        compute_dtype=None,
+        remat: bool | str = False,
+        lora_dropout: float = 0.0,
+        dropout_rng=None,
+        unroll: int | bool = 1,
+    ) -> jnp.ndarray:
+        if dropout_rng is not None and lora_dropout > 0.0:
+            raise NotImplementedError(
+                "LoRA dropout inside the pipeline is unsupported; train PP "
+                "recipes set dropout=0 (see module docstring)"
+            )
+        L = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        if L % n_stages:
+            raise ValueError(f"{L} layers not divisible by {n_stages} stages")
+        n_data = mesh.shape[DATA_AXIS]
+        b_loc = x.shape[0] // n_data
+        if x.shape[0] % n_data or b_loc % M:
+            raise ValueError(
+                f"global batch {x.shape[0]} must split into {n_data} data "
+                f"shards × {M} microbatches"
+            )
+
+        # mask with a real batch dim must be microbatched alongside x;
+        # batch-1 (pure causal) masks are tick-invariant
+        batch_mask = mask is not None and mask.shape[0] > 1
+
+        opt = {}
+        opt_specs = {}
+        if mask is not None:
+            opt["mask"] = mask
+            opt_specs["mask"] = P(DATA_AXIS) if batch_mask else P()
+        if lora_blocks is not None:
+            opt["lora"] = lora_blocks
+            opt_specs["lora"] = jax.tree_util.tree_map(
+                lambda _: P(STAGE_AXIS), lora_blocks
+            )
+
+        def local(blocks_loc, x_loc, opt_loc):
+            stage = lax.axis_index(STAGE_AXIS)
+            mb = x_loc.reshape(M, x_loc.shape[0] // M, *x_loc.shape[1:])
+            mask_loc = opt_loc.get("mask")
+            mask_mb = (
+                mask_loc.reshape(M, -1, *mask_loc.shape[1:])
+                if batch_mask
+                else None
+            )
+            lora_loc = opt_loc.get("lora")
+
+            def stage_fn(xmb, m):
+                return transformer(
+                    blocks_loc, xmb, num_heads, mask=m,
+                    lora_blocks=lora_loc, lora_scaling=lora_scaling, eps=eps,
+                    compute_dtype=compute_dtype, remat=remat, unroll=unroll,
+                )
+
+            ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+            def tick(carry, t):
+                state, outputs = carry
+                # microbatch index flowing through this stage at tick t
+                u = jnp.clip(t - stage, 0, M - 1)
+                inp = jnp.where(
+                    stage == 0,
+                    lax.dynamic_index_in_dim(mb, u, 0, keepdims=False),
+                    state,
+                )
+                m = (
+                    lax.dynamic_index_in_dim(mask_mb, u, 0, keepdims=False)
+                    if batch_mask
+                    else mask_loc
+                )
+                out = stage_fn(inp, m)
+                # the last stage banks finished microbatch t-(n-1); ticks in
+                # the fill bubble (o < 0) and other stages leave outputs alone
+                o = t - (n_stages - 1)
+                upd = lax.dynamic_update_index_in_dim(
+                    outputs, out, jnp.clip(o, 0, M - 1), 0
+                )
+                outputs = jnp.where(
+                    (stage == n_stages - 1) & (o >= 0), upd, outputs
+                )
+                state = lax.ppermute(out, STAGE_AXIS, ring)
+                return (state, outputs), None
+
+            T = M + n_stages - 1
+            (_, outputs), _ = lax.scan(
+                tick,
+                (jnp.zeros_like(mb[0]), jnp.zeros_like(mb)),
+                jnp.arange(T),
+            )
+            # only the last stage banked real outputs (zeros elsewhere):
+            # all_gather + static index is the broadcast-from-last-stage with
+            # an exact AD transpose (cotangents route only to the last stage)
+            outputs = lax.all_gather(outputs, STAGE_AXIS)[n_stages - 1]
+            return outputs.reshape(x_loc.shape)
+
+        fn = compat_shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(STAGE_AXIS), P(DATA_AXIS), opt_specs),
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )
+        return fn(blocks, x, opt)
+
+    return pipeline_transformer
+
+
+def init_pp_train_state(sharded_lora: Params, tx, seed: int = 42,
+                        rng_impl: Optional[str] = None):
+    """TrainState whose optimizer moments carry the LoRA PP shardings
+    (stage-sharded block leaves). Place the LoRA tree with
+    ``shard_clip_pp`` first."""
+    from clip_lora_match_tpu.parallel.state import init_sharded_train_state
+
+    return init_sharded_train_state(
+        sharded_lora, tx, clip_pp_pspecs(sharded_lora), seed=seed,
+        rng_impl=rng_impl,
+    )
+
+
+def make_pp_train_step(
+    params: Params,
+    arch,
+    lora_cfg,
+    train_cfg,
+    tx,
+    mesh: Mesh,
+    n_microbatches: int,
+    eot_id: Optional[int] = None,
+    compute_dtype=None,
+    remat: bool | str = False,
+):
+    """dp×pp LoRA train step: both towers execute as GPipe pipelines over the
+    ``stage`` axis while the batch shards over ``data``; the global-batch
+    InfoNCE all-gather and the DP grad psum stay GSPMD-derived, exactly like
+    ``train.step.make_train_step`` (whose program this matches step-for-step
+    at pp=1). LoRA dropout is forced off inside the pipeline (module
+    docstring); PP recipes train with dropout=0.
+
+    Place params/lora with ``shard_clip_pp`` and build state via
+    ``init_pp_train_state``; batch leaves shard over ``data``.
+    """
+    import optax
+
+    from clip_lora_match_tpu.train.loss import clip_contrastive_loss
+    from clip_lora_match_tpu.train.step import TrainState, _tower_features
+
+    check_pp_divisibility(arch, mesh.shape[STAGE_AXIS])
+    tfn = make_pipeline_transformer(mesh, n_microbatches)
+
+    def _loss(lora, params, batch):
+        img, txt = _tower_features(
+            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
+            dropout_rng=None, transformer_fn=tfn,
+        )
+        return clip_contrastive_loss(img, txt, train_cfg.temperature)
+
+    @jax.jit
+    def _step(params, state: TrainState, batch: dict):
+        rng, new_rng = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(state.lora, params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        new_state = TrainState(
+            lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    def step(state: TrainState, batch: dict):
+        return _step(params, state, batch)
+
+    step.inner = _step
+    return step

@@ -157,44 +157,12 @@ def init_tp_train_state(
 ):
     """TrainState whose optimizer moments carry the LoRA TP shardings.
 
-    ``optax.tree_map_params`` pairs every param-shaped leaf of the optimizer
-    state (adam mu/nu, MultiSteps accumulators, ...) with the matching LoRA
-    leaf's PartitionSpec and ``device_put``s it; non-param leaves (step
-    counts) replicate. Sharding-propagation through ``jit(tx.init)`` does NOT
-    work here — the moments are zeros, i.e. compile-time constants with no
-    data dependence on the sharded inputs, so the partitioner is free to
-    (and does) place them unsharded."""
-    import jax.numpy as jnp
-    import optax
+    Delegates to ``parallel.state.init_sharded_train_state`` (shared with
+    the PP path) with the LoRA TP spec tree; see that module for why jit
+    sharding-propagation can't place zero-initialized moments."""
+    from clip_lora_match_tpu.parallel.state import init_sharded_train_state
 
-    from clip_lora_match_tpu.train.step import TrainState
-
-    mesh = None
-    for leaf in jax.tree_util.tree_leaves(sharded_lora):
-        sharding = getattr(leaf, "sharding", None)
-        if isinstance(sharding, NamedSharding):
-            mesh = sharding.mesh
-            break
-    if mesh is None:
-        raise ValueError("sharded_lora has no NamedSharding leaves — "
-                         "place it with shard_lora_tp first")
-
-    specs = lora_tp_pspecs(sharded_lora)
-    opt_state = optax.tree_map_params(
-        tx,
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
-        tx.init(sharded_lora),
-        specs,
-        transform_non_params=lambda x: jax.device_put(
-            jnp.asarray(x), NamedSharding(mesh, P())
-        ),
-    )
-    rng = (
-        jax.random.key(seed, impl=rng_impl) if rng_impl else jax.random.PRNGKey(seed)
-    )
-    return TrainState(
-        lora=sharded_lora,
-        opt_state=opt_state,
-        step=jnp.zeros((), jnp.int32),
-        rng=rng,
+    return init_sharded_train_state(
+        sharded_lora, tx, lora_tp_pspecs(sharded_lora), seed=seed,
+        rng_impl=rng_impl,
     )

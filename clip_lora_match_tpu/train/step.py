@@ -77,7 +77,7 @@ def make_optimizer(
 
 def _tower_features(
     params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
-    dropout_rng=None, unroll=1,
+    dropout_rng=None, unroll=1, transformer_fn=None,
 ):
     """Forward both towers; LoRA dropout active iff dropout_rng is given.
 
@@ -104,6 +104,7 @@ def _tower_features(
         lora=lora, lora_scaling=lora_cfg.scaling,
         compute_dtype=compute_dtype, remat=remat,
         lora_dropout=rate, dropout_rng=rngs[0], unroll=unroll,
+        transformer_fn=transformer_fn,
     )
     txt = clip_model.encode_text_features(
         params, batch["input_ids"], arch,
@@ -111,6 +112,7 @@ def _tower_features(
         lora=lora, lora_scaling=lora_cfg.scaling,
         compute_dtype=compute_dtype, remat=remat,
         lora_dropout=rate, dropout_rng=rngs[1], unroll=unroll,
+        transformer_fn=transformer_fn,
     )
     return img, txt
 
