@@ -20,6 +20,24 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def compat_shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    """shard_map across the jax 0.8 API rename (check_rep → check_vma)."""
+    try:
+        from jax import shard_map as _sm  # jax ≥ 0.8
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_rep,
+        )
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -42,29 +42,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_lora_match_tpu.nn.layers import transformer
-from clip_lora_match_tpu.parallel.mesh import DATA_AXIS
+from clip_lora_match_tpu.parallel.mesh import DATA_AXIS, compat_shard_map
 
 STAGE_AXIS = "stage"
 
 Params = dict[str, Any]
-
-
-def compat_shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-    """shard_map across the jax 0.8 API rename (check_rep → check_vma)."""
-    try:
-        from jax import shard_map as _sm  # jax ≥ 0.8
-
-        return _sm(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=check_rep,
-        )
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _sm
-
-        return _sm(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=check_rep,
-        )
 
 
 def make_pp_mesh(
@@ -76,6 +58,12 @@ def make_pp_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_stage
+    if len(devices) < n_data * n_stage:
+        raise ValueError(
+            f"need {n_data}×{n_stage}={n_data * n_stage} devices for a "
+            f"(data, stage) mesh, have {len(devices)} — on CPU set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+        )
     use = devices[: n_data * n_stage]
     arr = np.array(use).reshape(n_data, n_stage)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
@@ -283,6 +271,13 @@ def make_pp_train_step(
     from clip_lora_match_tpu.train.loss import clip_contrastive_loss
     from clip_lora_match_tpu.train.step import TrainState, _tower_features
 
+    if lora_cfg.dropout > 0.0:
+        raise ValueError(
+            "LoRA dropout is unsupported inside the pipeline (per-layer rng "
+            "threading across stages); pass a LoraConfig with dropout=0.0 — "
+            "silently disabling it would train a different recipe than the "
+            "DP/TP steps"
+        )
     check_pp_divisibility(arch, mesh.shape[STAGE_AXIS])
     tfn = make_pipeline_transformer(mesh, n_microbatches)
 

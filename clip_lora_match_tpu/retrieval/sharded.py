@@ -58,14 +58,7 @@ def sharded_topk_retrieve(
              each shard must hold ≥ k rows).
     n_valid: true row count when the index was padded.
     """
-    try:
-        from jax import shard_map as _shard_map  # jax ≥ 0.8
-
-        def shard_map(f, **kw):  # new API: check_rep renamed to check_vma
-            kw["check_vma"] = kw.pop("check_rep")
-            return _shard_map(f, **kw)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from clip_lora_match_tpu.parallel.mesh import compat_shard_map
 
     if mesh is None:
         mesh = index.sharding.mesh  # type: ignore[union-attr]
@@ -105,7 +98,7 @@ def sharded_topk_retrieve(
         fs, pos = jax.lax.top_k(s_all, k)
         return fs, jnp.take_along_axis(i_all, pos, axis=1)
 
-    fn = shard_map(
+    fn = compat_shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None)),

@@ -183,6 +183,24 @@ def test_pp_train_step_matches_single_device():
     np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-6, atol=1e-6)
 
 
+def test_pp_train_step_rejects_dropout():
+    """Silently disabling LoRA dropout would train a different recipe than
+    the DP/TP steps — the PP step must refuse it loudly."""
+    params = clip_model.init_params(jax.random.PRNGKey(0), ARCH)
+    tx, _ = make_optimizer(TrainingConfig(batch_size=16), total_steps=10)
+    mesh = make_pp_mesh(n_stage=4, n_data=2)
+    with pytest.raises(ValueError, match="dropout"):
+        make_pp_train_step(
+            params, ARCH, LoraConfig(r=4, alpha=8, dropout=0.1),
+            TrainingConfig(batch_size=16), tx, mesh, n_microbatches=2,
+        )
+
+
+def test_pp_mesh_rejects_device_shortfall():
+    with pytest.raises(ValueError, match="devices"):
+        make_pp_mesh(n_stage=4, n_data=4)  # conftest provides only 8
+
+
 def test_pp_rejects_bad_geometry():
     mesh = make_pp_mesh(n_stage=4)
     pipe = make_pipeline_transformer(mesh, n_microbatches=3)
