@@ -227,11 +227,18 @@ def attention(
     compute_dtype: Optional[jnp.dtype] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    core_attn_fn=None,
 ) -> jnp.ndarray:
     """Multi-head self-attention with optional additive mask.
 
     p: {q_proj, k_proj, v_proj, out_proj} each {kernel (D,D), bias (D,)}.
     mask: additive bias broadcastable to (B, 1, S, S) (0 or large-negative).
+
+    ``core_attn_fn``: alternate score→softmax→value core with signature
+    ``(qh, kh, vh, mask) -> (B, S, H, hd)`` replacing the kernel dispatch
+    below — the injection point for sequence parallelism
+    (parallel/sp.py's ring attention), which owns the mask's column
+    semantics. Projections stay per-token and untouched.
 
     TPU notes: the three input projections run as ONE fused (D, 3D) matmul
     (concat at trace time — XLA hoists the concat out of the hot loop), and
@@ -313,7 +320,9 @@ def attention(
     kh = k.reshape(B, S, H, hd)
     vh = v.reshape(B, S, H, hd)
 
-    if _KERNEL_FLAGS["small_attention"] and S <= SMALL_ATTN_MAX_SEQ:
+    if core_attn_fn is not None:
+        out = core_attn_fn(qh, kh, vh, mask)
+    elif _KERNEL_FLAGS["small_attention"] and S <= SMALL_ATTN_MAX_SEQ:
         # NOTE: the small-attention kernel's max-free softmax assumes row
         # logits < 80 (exact softmax within that range; ≥80 logits clip
         # equal → uniform instead of near-one-hot attention). CLIP towers'
@@ -419,6 +428,7 @@ def transformer_block(
     compute_dtype: Optional[jnp.dtype] = None,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    core_attn_fn=None,
 ) -> jnp.ndarray:
     """Pre-LN residual block (CLIP layout: LN → attn → +res; LN → MLP → +res)."""
     x = x + attention(
@@ -431,6 +441,7 @@ def transformer_block(
         compute_dtype=compute_dtype,
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
+        core_attn_fn=core_attn_fn,
     )
     x = x + mlp(
         p["mlp"],
@@ -457,6 +468,7 @@ def transformer(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     unroll: int | bool = 1,
+    core_attn_fn=None,
 ) -> jnp.ndarray:
     """Run a stacked transformer (leading layer axis on every leaf) via scan.
 
@@ -483,6 +495,7 @@ def transformer(
             compute_dtype=compute_dtype,
             lora_dropout=lora_dropout,
             dropout_rng=rng,
+            core_attn_fn=core_attn_fn,
         )
         return out, None
 

@@ -1,0 +1,254 @@
+"""Sequence parallelism for the CLIP towers: ring attention over a ``seq`` axis.
+
+DP covers batch, TP width (parallel/tp.py), PP depth (parallel/pp.py); this
+module covers the fourth axis — SEQUENCE — the TPU way:
+
+- Every non-attention op in a transformer block (LN, QKV/out projections,
+  MLP, LoRA deltas, residuals) is per-token, so under a sequence sharding
+  ``x: P(data, seq)`` they run unchanged on the local rows with params
+  replicated — no communication at all.
+- Attention is the one all-to-all over tokens. It runs as RING ATTENTION
+  (ops/ring_attention.py): each device keeps its query rows, KV blocks
+  rotate around the ``seq`` axis via ``lax.ppermute`` (neighbor ICI hops),
+  and a flash-style online softmax accumulates exact results block by
+  block. AD through the ring derives the backward schedule automatically,
+  same argument as the PP tick loop.
+- Arbitrary sequence lengths are supported by PADDING to the next multiple
+  of the axis size: pad key columns are masked to the additive-mask floor
+  in every layer (so they never receive attention mass) and pad query rows
+  are sliced off after the tower. This matters here — CLIP's own
+  geometries (vision S=50/197/257/577, text S=77) are mostly indivisible.
+
+At CLIP's 50-77 tokens SP buys nothing (same honesty as TP/PP at 12
+layers): it exists so the framework's attention scales to sequence lengths
+that do not fit one chip, and is validated by equivalence tests (op, tower
+incl. pad path, grads, full dp×sp train trajectory) plus the driver's
+multichip dry run. The reference is single-device torch
+(ref:src/models/clip_model.py); nothing upstream shards anything.
+
+Not supported inside the sequence shard: LoRA dropout (per-shard rng would
+draw different masks than the global (B, S, D) draw — recipes set
+dropout=0, enforced loudly like parallel/pp.py) and the single-device
+Pallas serving kernels (core dispatch is replaced by the ring).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_lora_match_tpu.nn.layers import transformer
+from clip_lora_match_tpu.ops.ring_attention import _MASK_FLOOR, ring_attention
+from clip_lora_match_tpu.parallel.mesh import DATA_AXIS, compat_shard_map
+
+SEQ_AXIS = "seq"
+
+Params = dict[str, Any]
+
+
+def make_sp_mesh(
+    n_seq: int,
+    n_data: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """(data, seq) mesh; seq is minor so the KV ring rides neighbor ICI."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_seq
+    if len(devices) < n_data * n_seq:
+        raise ValueError(
+            f"need {n_data}×{n_seq}={n_data * n_seq} devices for a "
+            f"(data, seq) mesh, have {len(devices)} — on CPU set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+        )
+    arr = np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
+def shard_clip_sp(tree: Params, mesh: Mesh) -> Params:
+    """Place a CLIP param/LoRA tree for SP: everything REPLICATES (only
+    activations shard — that is the point of sequence parallelism)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sp_transformer(mesh: Mesh):
+    """A drop-in for ``nn.layers.transformer`` that shards the SEQUENCE axis
+    over ``mesh``'s ``seq`` axis and runs attention as a KV ring.
+
+    Any sequence length works (padded to a multiple of the axis size with
+    floor-masked key columns); the global batch must divide the ``data``
+    axis. Params and LoRA replicate.
+    """
+    n_seq = mesh.shape[SEQ_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+
+    def sp_transformer(
+        blocks: Params,
+        x: jnp.ndarray,
+        num_heads: int,
+        mask: Optional[jnp.ndarray] = None,
+        lora_blocks: Optional[Params] = None,
+        lora_scaling: float = 1.0,
+        eps: float = 1e-5,
+        compute_dtype=None,
+        remat: bool | str = False,
+        lora_dropout: float = 0.0,
+        dropout_rng=None,
+        unroll: int | bool = 1,
+    ) -> jnp.ndarray:
+        if dropout_rng is not None and lora_dropout > 0.0:
+            raise NotImplementedError(
+                "LoRA dropout inside the sequence shard is unsupported; SP "
+                "recipes set dropout=0 (see module docstring)"
+            )
+        B, S, D = x.shape
+        if B % n_data:
+            raise ValueError(
+                f"global batch {B} must divide the data axis ({n_data})"
+            )
+        S_pad = -(-S // n_seq) * n_seq
+        pad = S_pad - S
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            if mask is not None:
+                if mask.ndim != 4:
+                    raise ValueError(
+                        f"SP needs an explicit 4-dim additive mask, got "
+                        f"ndim={mask.ndim}"
+                    )
+                # pad QUERY rows and KEY columns at the floor: pad keys never
+                # receive mass in any layer; pad query rows ride the ring's
+                # fully-masked-row guard and are sliced off below
+                mask = jnp.pad(
+                    mask.astype(jnp.float32),
+                    ((0, 0), (0, 0), (0, pad), (0, pad)),
+                    constant_values=float(_MASK_FLOOR),
+                )
+            else:
+                cols = jnp.where(
+                    jnp.arange(S_pad) < S, jnp.float32(0), _MASK_FLOOR
+                )
+                mask = jnp.broadcast_to(cols, (1, 1, 1, S_pad))
+        batch_mask = mask is not None and mask.shape[0] > 1
+
+        opt = {}
+        opt_specs = {}
+        if mask is not None:
+            # rows shard with their queries over ``seq``; every device keeps
+            # ALL key columns of its rows — the ring slices the column block
+            # matching each step's KV origin (ops/ring_attention.py)
+            row_axis = SEQ_AXIS if mask.shape[2] > 1 else None
+            opt["mask"] = mask
+            opt_specs["mask"] = P(
+                DATA_AXIS if batch_mask else None, None, row_axis, None
+            )
+        if lora_blocks is not None:
+            opt["lora"] = lora_blocks
+            opt_specs["lora"] = jax.tree_util.tree_map(
+                lambda _: P(), lora_blocks
+            )
+
+        def local(blocks_rep, x_loc, opt_loc):
+            def ring_core(qh, kh, vh, m):
+                return ring_attention(qh, kh, vh, SEQ_AXIS, mask=m)
+
+            return transformer(
+                blocks_rep,
+                x_loc,
+                num_heads,
+                mask=opt_loc.get("mask"),
+                lora_blocks=opt_loc.get("lora"),
+                lora_scaling=lora_scaling,
+                eps=eps,
+                compute_dtype=compute_dtype,
+                remat=remat,
+                unroll=unroll,
+                core_attn_fn=ring_core,
+            )
+
+        fn = compat_shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, SEQ_AXIS), opt_specs),
+            out_specs=P(DATA_AXIS, SEQ_AXIS),
+            check_rep=False,
+        )
+        out = fn(blocks, x, opt)
+        return out[:, :S] if pad else out
+
+    return sp_transformer
+
+
+def init_sp_train_state(sharded_lora: Params, tx, seed: int = 42,
+                        rng_impl: Optional[str] = None):
+    """TrainState with replicated optimizer moments (SP shards activations,
+    not params). Place the LoRA tree with ``shard_clip_sp`` first."""
+    from clip_lora_match_tpu.parallel.state import init_sharded_train_state
+
+    specs = jax.tree_util.tree_map(lambda _: P(), sharded_lora)
+    return init_sharded_train_state(
+        sharded_lora, tx, specs, seed=seed, rng_impl=rng_impl
+    )
+
+
+def make_sp_train_step(
+    params: Params,
+    arch,
+    lora_cfg,
+    train_cfg,
+    tx,
+    mesh: Mesh,
+    eot_id: Optional[int] = None,
+    compute_dtype=None,
+    remat: bool | str = False,
+):
+    """dp×sp LoRA train step: both towers run with the sequence axis sharded
+    and ring attention, while the batch shards over ``data``; the global
+    InfoNCE all-gather and DP grad psum stay GSPMD-derived, matching
+    ``train.step.make_train_step`` step-for-step at sp=1. LoRA dropout is
+    refused (module docstring).
+
+    Place params/lora with ``shard_clip_sp`` and build state via
+    ``init_sp_train_state``; batch leaves shard over ``data``.
+    """
+    import optax
+
+    from clip_lora_match_tpu.train.loss import clip_contrastive_loss
+    from clip_lora_match_tpu.train.step import TrainState, _tower_features
+
+    if lora_cfg.dropout > 0.0:
+        raise ValueError(
+            "LoRA dropout is unsupported inside the sequence shard; pass a "
+            "LoraConfig with dropout=0.0 — silently disabling it would "
+            "train a different recipe than the DP/TP steps"
+        )
+    tfn = make_sp_transformer(mesh)
+
+    def _loss(lora, params, batch):
+        img, txt = _tower_features(
+            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
+            dropout_rng=None, transformer_fn=tfn,
+        )
+        return clip_contrastive_loss(img, txt, train_cfg.temperature)
+
+    @jax.jit
+    def _step(params, state: TrainState, batch: dict):
+        rng, new_rng = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(state.lora, params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        new_state = TrainState(
+            lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    def step(state: TrainState, batch: dict):
+        return _step(params, state, batch)
+
+    step.inner = _step
+    return step

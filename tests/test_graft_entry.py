@@ -39,10 +39,10 @@ def test_dryrun_multichip_from_unprepared_interpreter(repo_root):
         cwd=repo_root,
         capture_output=True,
         text=True,
-        # the dry run is ~6.5 min on a quiet 1-core host (DP + topk + index +
-        # grad-accum + TP + PP + full-geometry step) and slower under suite
-        # memory pressure; the entry's own child cap is 1500 s
-        timeout=1200,
+        # the dry run is ~7.75 min on a quiet 1-core host (DP + topk + index
+        # + grad-accum + TP + PP + SP + full-geometry step) and slower under
+        # suite memory pressure; match the entry's own 1500 s child cap
+        timeout=1500,
     )
     assert res.returncode == 0, res.stderr[-3000:]
     assert "dryrun_multichip ok: 8 devices" in res.stdout, res.stdout
