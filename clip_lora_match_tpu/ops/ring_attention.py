@@ -67,8 +67,8 @@ def ring_attention(
 
     q32 = (qh * scale).astype(jnp.float32)
 
-    def step(carry, r):
-        k_blk, v_blk, m, l, acc = carry
+    def accumulate(k_blk, v_blk, m, l, acc, r):
+        """Fold one KV block into the online-softmax state at ring step r."""
         # after r hops this device holds the KV block that ORIGINATED on
         # device (me - r) mod n; its key columns sit at src*S_loc globally
         src = (me - r) % n
@@ -83,34 +83,42 @@ def ring_attention(
             )
             s = s + mblk
         blk_max = jnp.max(s, axis=-1, keepdims=True)  # (B, H, Q, 1)
+        # new_m >= _MASK_FLOOR always (the init), so neither exp below ever
+        # sees a positive-infinite argument
         new_m = jnp.maximum(m, blk_max)
-        # new_m ≥ _MASK_FLOOR always (init), so alpha/p never see exp(inf);
-        # fully-masked rows give p = exp(0) scaled into l... no: s - new_m
-        # = 0 there, p = 1 — but l for such rows is discarded by the guard
         alpha = jnp.exp(m - new_m)
         p = jnp.exp(s - new_m)
         if mask is not None:
-            # keep fully-masked rows at l == 0: a row whose every logit sits
-            # at the mask floor must contribute nothing (p would be exp(0)=1
-            # per column otherwise, turning pad rows into uniform attention
-            # and their l into a finite garbage denominator — harmless for
-            # the sliced-off rows themselves but NaN-prone under AD)
+            # invariant: a FULLY-masked row (every logit at the floor) keeps
+            # l == 0 across all steps -- without this guard its p would be
+            # exp(0)=1 per column (s == new_m == floor), giving pad rows a
+            # finite garbage denominator that is NaN-prone under AD
             p = jnp.where(s <= _MASK_FLOOR * 0.5, 0.0, p)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
             "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        return new_m, l, acc
+
+    def step(carry, r):
+        k_blk, v_blk, m, l, acc = carry
+        m, l, acc = accumulate(k_blk, v_blk, m, l, acc, r)
         k_blk = lax.ppermute(k_blk, axis_name, perm)
         v_blk = lax.ppermute(v_blk, axis_name, perm)
-        return (k_blk, v_blk, new_m, l, acc), None
+        return (k_blk, v_blk, m, l, acc), None
 
     m0 = jnp.full((B, H, S_loc, 1), _MASK_FLOOR, jnp.float32)
     l0 = jnp.zeros((B, H, S_loc, 1), jnp.float32)
     acc0 = jnp.zeros((B, H, S_loc, hd), jnp.float32)
-    (_, _, _, l, acc), _ = lax.scan(
-        step, (kh, vh, m0, l0, acc0), jnp.arange(n)
+    # scan the first n-1 steps (each ends with the KV hop), then fold the
+    # final block WITHOUT rotating it onward: the last ppermute pair's
+    # result would be discarded, and XLA cannot elide a send inside the
+    # fixed scan body
+    (k_blk, v_blk, m, l, acc), _ = lax.scan(
+        step, (kh, vh, m0, l0, acc0), jnp.arange(n - 1)
     )
+    _, l, acc = accumulate(k_blk, v_blk, m, l, acc, n - 1)
     # guard fully-masked (padded) query rows: 0 instead of 0/0
     out = acc / jnp.where(l > 0.0, l, 1.0)
     return out.transpose(0, 2, 1, 3).astype(qh.dtype)

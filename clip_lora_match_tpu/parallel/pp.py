@@ -58,11 +58,11 @@ def make_pp_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_stage
-    if len(devices) < n_data * n_stage:
+    if n_data < 1 or len(devices) < n_data * n_stage:
         raise ValueError(
-            f"need {n_data}×{n_stage}={n_data * n_stage} devices for a "
-            f"(data, stage) mesh, have {len(devices)} — on CPU set "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+            f"need {max(n_data, 1)}×{n_stage}={max(n_data, 1) * n_stage} "
+            f"devices for a (data, stage) mesh, have {len(devices)} — on CPU "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N"
         )
     use = devices[: n_data * n_stage]
     arr = np.array(use).reshape(n_data, n_stage)
@@ -266,10 +266,7 @@ def make_pp_train_step(
     Place params/lora with ``shard_clip_pp`` and build state via
     ``init_pp_train_state``; batch leaves shard over ``data``.
     """
-    import optax
-
-    from clip_lora_match_tpu.train.loss import clip_contrastive_loss
-    from clip_lora_match_tpu.train.step import TrainState, _tower_features
+    from clip_lora_match_tpu.train.step import make_train_step
 
     if lora_cfg.dropout > 0.0:
         raise ValueError(
@@ -279,28 +276,10 @@ def make_pp_train_step(
             "DP/TP steps"
         )
     check_pp_divisibility(arch, mesh.shape[STAGE_AXIS])
-    tfn = make_pipeline_transformer(mesh, n_microbatches)
-
-    def _loss(lora, params, batch):
-        img, txt = _tower_features(
-            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
-            dropout_rng=None, transformer_fn=tfn,
-        )
-        return clip_contrastive_loss(img, txt, train_cfg.temperature)
-
-    @jax.jit
-    def _step(params, state: TrainState, batch: dict):
-        rng, new_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(_loss)(state.lora, params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
-        lora = optax.apply_updates(state.lora, updates)
-        new_state = TrainState(
-            lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
-        )
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
-
-    def step(state: TrainState, batch: dict):
-        return _step(params, state, batch)
-
-    step.inner = _step
-    return step
+    # with dropout enforced off, make_train_step's program is EXACTLY the
+    # production step with the pipeline executor injected into both towers
+    return make_train_step(
+        params, arch, lora_cfg, train_cfg, tx, eot_id=eot_id,
+        compute_dtype=compute_dtype, remat=remat, unroll=1,
+        transformer_fn=make_pipeline_transformer(mesh, n_microbatches),
+    )

@@ -59,10 +59,10 @@ def make_sp_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_seq
-    if len(devices) < n_data * n_seq:
+    if n_data < 1 or len(devices) < n_data * n_seq:
         raise ValueError(
-            f"need {n_data}×{n_seq}={n_data * n_seq} devices for a "
-            f"(data, seq) mesh, have {len(devices)} — on CPU set "
+            f"need {max(n_data, 1)}×{n_seq}={max(n_data, 1) * n_seq} devices "
+            f"for a (data, seq) mesh, have {len(devices)} — on CPU set "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N"
         )
     arr = np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq)
@@ -111,24 +111,45 @@ def make_sp_transformer(mesh: Mesh):
             raise ValueError(
                 f"global batch {B} must divide the data axis ({n_data})"
             )
+        if mask is not None:
+            # the ring slices key columns by GLOBAL position and shards query
+            # rows, so broadcastable shorthands must be explicit enough to
+            # tell rows from keys: 4-dim, full key dim, rows either full or
+            # a broadcast 1
+            if mask.ndim != 4:
+                raise ValueError(
+                    f"SP needs an explicit 4-dim additive mask "
+                    f"(broadcastable dims of size 1 allowed), got "
+                    f"ndim={mask.ndim}"
+                )
+            if mask.shape[3] != S or mask.shape[2] not in (1, S):
+                raise ValueError(
+                    f"SP mask must have key dim {S} and query-row dim 1 or "
+                    f"{S}, got {mask.shape}"
+                )
         S_pad = -(-S // n_seq) * n_seq
         pad = S_pad - S
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             if mask is not None:
-                if mask.ndim != 4:
-                    raise ValueError(
-                        f"SP needs an explicit 4-dim additive mask, got "
-                        f"ndim={mask.ndim}"
-                    )
-                # pad QUERY rows and KEY columns at the floor: pad keys never
-                # receive mass in any layer; pad query rows ride the ring's
-                # fully-masked-row guard and are sliced off below
+                # KEY columns always extend at the floor: pad keys must never
+                # receive attention mass in any layer. QUERY rows extend only
+                # when the mask is per-row (shape[2] == S) — a broadcast row
+                # mask (shape[2] == 1) must STAY broadcast, or devices past
+                # the first would see all-floor rows; pad query rows then
+                # compute unmasked garbage that is sliced off below, and
+                # their floor-masked key columns keep them out of real rows
                 mask = jnp.pad(
                     mask.astype(jnp.float32),
-                    ((0, 0), (0, 0), (0, pad), (0, pad)),
+                    ((0, 0), (0, 0), (0, 0), (0, pad)),
                     constant_values=float(_MASK_FLOOR),
                 )
+                if mask.shape[2] > 1:
+                    mask = jnp.pad(
+                        mask,
+                        ((0, 0), (0, 0), (0, pad), (0, 0)),
+                        constant_values=float(_MASK_FLOOR),
+                    )
             else:
                 cols = jnp.where(
                     jnp.arange(S_pad) < S, jnp.float32(0), _MASK_FLOOR
@@ -216,10 +237,7 @@ def make_sp_train_step(
     Place params/lora with ``shard_clip_sp`` and build state via
     ``init_sp_train_state``; batch leaves shard over ``data``.
     """
-    import optax
-
-    from clip_lora_match_tpu.train.loss import clip_contrastive_loss
-    from clip_lora_match_tpu.train.step import TrainState, _tower_features
+    from clip_lora_match_tpu.train.step import make_train_step
 
     if lora_cfg.dropout > 0.0:
         raise ValueError(
@@ -227,28 +245,10 @@ def make_sp_train_step(
             "LoraConfig with dropout=0.0 — silently disabling it would "
             "train a different recipe than the DP/TP steps"
         )
-    tfn = make_sp_transformer(mesh)
-
-    def _loss(lora, params, batch):
-        img, txt = _tower_features(
-            params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
-            dropout_rng=None, transformer_fn=tfn,
-        )
-        return clip_contrastive_loss(img, txt, train_cfg.temperature)
-
-    @jax.jit
-    def _step(params, state: TrainState, batch: dict):
-        rng, new_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(_loss)(state.lora, params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
-        lora = optax.apply_updates(state.lora, updates)
-        new_state = TrainState(
-            lora=lora, opt_state=opt_state, step=state.step + 1, rng=new_rng
-        )
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
-
-    def step(state: TrainState, batch: dict):
-        return _step(params, state, batch)
-
-    step.inner = _step
-    return step
+    # with dropout enforced off, make_train_step's program is EXACTLY the
+    # production step with the ring executor injected into both towers
+    return make_train_step(
+        params, arch, lora_cfg, train_cfg, tx, eot_id=eot_id,
+        compute_dtype=compute_dtype, remat=remat, unroll=1,
+        transformer_fn=make_sp_transformer(mesh),
+    )

@@ -127,16 +127,22 @@ def make_train_step(
     compute_dtype=None,
     remat: bool | str = False,
     unroll: int | bool = True,
+    transformer_fn=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Build the jit'd train step. The frozen base params are a jit ARGUMENT
     (not a closure capture — captured arrays embed as HLO constants, which
     bloats the compile payload by the full 151M-param model and can exceed
-    compile-service request limits); only the LoRA tree is differentiated."""
+    compile-service request limits); only the LoRA tree is differentiated.
+
+    ``transformer_fn``: alternate stacked-transformer executor threaded into
+    both towers (models/clip.py) — how the PP/SP factories
+    (parallel/{pp,sp}.py) reuse this exact step program."""
 
     def _loss(lora, params, batch, rng):
         img, txt = _tower_features(
             params, lora, batch, arch, lora_cfg, eot_id, compute_dtype, remat,
             dropout_rng=rng if lora_cfg.dropout > 0 else None, unroll=unroll,
+            transformer_fn=transformer_fn,
         )
         return clip_contrastive_loss(img, txt, train_cfg.temperature)
 

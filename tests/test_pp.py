@@ -199,6 +199,10 @@ def test_pp_train_step_rejects_dropout():
 def test_pp_mesh_rejects_device_shortfall():
     with pytest.raises(ValueError, match="devices"):
         make_pp_mesh(n_stage=4, n_data=4)  # conftest provides only 8
+    # n_stage > device count used to floor n_data to 0 and hand back an
+    # EMPTY mesh instead of the explanatory error
+    with pytest.raises(ValueError, match="devices"):
+        make_pp_mesh(n_stage=16)
 
 
 def test_pp_rejects_bad_geometry():

@@ -169,6 +169,43 @@ def test_sp_transformer_causal_mask_and_lora_padded():
     )
 
 
+def test_sp_transformer_broadcast_key_mask_padded():
+    """A broadcast (B,1,1,S) key-only mask through the PAD path must stay
+    broadcast — row-padding it would hand devices past the first all-floor
+    rows and silently zero every real token (r3 review repro)."""
+    blocks = _blocks(jax.random.PRNGKey(0), 2, 32, 64)
+    S = 13  # pads to 16 on a 4-way axis
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, S, 32), jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    keep = jax.random.bernoulli(jax.random.PRNGKey(2), 0.8, (8, 1, 1, S))
+    mask = jnp.where(keep, 0.0, neg)
+
+    ref = jax.jit(lambda b, x: transformer(b, x, 4, mask=mask))(blocks, x)
+
+    mesh = make_sp_mesh(n_seq=4, n_data=2)
+    sp = make_sp_transformer(mesh)
+    with mesh:
+        got = jax.jit(lambda b, x: sp(b, x, 4, mask=mask))(blocks, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_sp_transformer_rejects_underspecified_masks():
+    """The shape contract must fail loudly even when S divides the axis."""
+    blocks = _blocks(jax.random.PRNGKey(0), 2, 32, 64)
+    x = jnp.zeros((8, 16, 32), jnp.float32)
+    mesh = make_sp_mesh(n_seq=4, n_data=2)
+    sp = make_sp_transformer(mesh)
+    neg = jnp.finfo(jnp.float32).min
+    with pytest.raises(ValueError, match="4-dim"):
+        with mesh:
+            sp(blocks, x, 4, mask=jnp.triu(jnp.full((16, 16), neg), k=1))
+    with pytest.raises(ValueError, match="query-row"):
+        with mesh:
+            sp(blocks, x, 4, mask=jnp.zeros((8, 1, 4, 16)))
+
+
 def test_sp_encode_image_matches_plain():
     """Full image tower at CLIP-style indivisible S (here (32/16)²+1 = 5,
     padded to 8 on a 4-way axis): cls pooling sees identical features."""
@@ -278,3 +315,7 @@ def test_sp_train_step_rejects_dropout():
 def test_sp_mesh_rejects_device_shortfall():
     with pytest.raises(ValueError, match="devices"):
         make_sp_mesh(n_seq=4, n_data=4)  # conftest provides only 8
+    # n_seq > device count used to floor n_data to 0 and hand back an
+    # EMPTY mesh instead of the explanatory error
+    with pytest.raises(ValueError, match="devices"):
+        make_sp_mesh(n_seq=16)
