@@ -35,7 +35,11 @@ from jax import lax
 # finfo.min-style additive masks stay NaN-free through the online softmax:
 # a fully-masked (padded) query row keeps m at _MASK_FLOOR and l at 0; the
 # final divide is guarded so such rows emit 0 instead of 0/0.
-_MASK_FLOOR = jnp.float32(-3.4e38)
+# A plain Python float on purpose: jnp.float32(...) at module scope creates
+# a device array and INITIALIZES THE BACKEND at import time, which breaks
+# multi-host runs (jax.distributed.initialize must come first — caught by
+# tests/test_parallel.py::test_package_import_does_not_initialize_backend).
+_MASK_FLOOR = -3.4e38
 
 
 def ring_attention(

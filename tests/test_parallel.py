@@ -71,3 +71,34 @@ def test_empty_batches(tiny_encoder):  # noqa: F811
     assert sh.encode_image_batch(
         np.zeros((0, TINY.image_size, TINY.image_size, 3), np.float32)
     ).shape == (0, 16)
+
+
+def test_package_import_does_not_initialize_backend():
+    """Importing the parallel package must not touch the XLA backend:
+    multi-host workers import it BEFORE jax.distributed.initialize, which
+    hard-fails if anything module-level created a device array (regression:
+    ops/ring_attention.py's mask floor was once a jnp scalar)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import clip_lora_match_tpu.parallel\n"
+        "import clip_lora_match_tpu.train\n"
+        "import clip_lora_match_tpu.models.clip\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, xla_bridge._backends\n"
+        "print('clean')\n"
+    )
+    env = {"PYTHONPATH": "", "PALLAS_AXON_POOL_IPS": "", "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/tmp"}
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env=env, cwd="/root/repo",
+    )
+    assert res.returncode == 0 and "clean" in res.stdout, (
+        res.stdout + res.stderr
+    )
