@@ -699,6 +699,21 @@ def _train_step_extra(arch, params, rng):
         file=sys.stderr,
     )
 
+    # Both knobs together — the trainer's actual configuration on a ≤64-token
+    # corpus (chain_steps + text_seq_slice compose; scripts/
+    # exp_train_chain_s64.py: gains stack, 2,477 ex/s median-of-3 measured)
+    batches64 = {
+        k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in batch64.items()
+    }
+    t_k64 = _bench(lambda s, b: chained(s, b)[1], state, batches64, iters=2,
+                   label=f"train_step_chain{K}_s64")
+    print(
+        f"[bench] chained train step K={K} B={B} S=64: "
+        f"{t_k64 / K * 1e3:.1f} ms/step -> "
+        f"{B * K / t_k64:,.0f} examples/s/chip",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()
