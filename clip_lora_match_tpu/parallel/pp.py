@@ -53,18 +53,32 @@ def make_pp_mesh(
     n_stage: int,
     n_data: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_seq: Optional[int] = None,
 ) -> Mesh:
-    """(data, stage) mesh; stage is minor so ppermute hops ride neighbor ICI."""
+    """(data, stage[, seq]) mesh; the communicating axes sit minor so both
+    the GPipe activation hops (stage) and the KV ring (seq — densest
+    traffic, once per layer) ride neighbor ICI.
+
+    ``n_seq``: adds a sequence axis for the 3D dp×pp×sp composition —
+    ``make_pipeline_transformer`` detects it and runs ring attention inside
+    every stage (see parallel/sp.py for the sequence-sharding story).
+    """
     devices = list(devices if devices is not None else jax.devices())
+    per_data = n_stage * (n_seq or 1)
     if n_data is None:
-        n_data = len(devices) // n_stage
-    if n_data < 1 or len(devices) < n_data * n_stage:
+        n_data = len(devices) // per_data
+    if n_data < 1 or len(devices) < n_data * per_data:
         raise ValueError(
-            f"need {max(n_data, 1)}×{n_stage}={max(n_data, 1) * n_stage} "
-            f"devices for a (data, stage) mesh, have {len(devices)} — on CPU "
+            f"need {max(n_data, 1)}×{per_data}={max(n_data, 1) * per_data} "
+            f"devices for the mesh, have {len(devices)} — on CPU "
             "set XLA_FLAGS=--xla_force_host_platform_device_count=N"
         )
-    use = devices[: n_data * n_stage]
+    use = devices[: n_data * per_data]
+    if n_seq:
+        arr = np.array(use).reshape(n_data, n_stage, n_seq)
+        from clip_lora_match_tpu.parallel.sp import SEQ_AXIS
+
+        return Mesh(arr, (DATA_AXIS, STAGE_AXIS, SEQ_AXIS))
     arr = np.array(use).reshape(n_data, n_stage)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
 
@@ -111,9 +125,25 @@ def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
     blocks / lora_blocks leaves must be placed (or placeable) with
     ``P('stage', ...)`` on the leading layer axis; x with ``P('data', ...)``.
     The local batch (global B / n_data) must divide by ``n_microbatches``.
+
+    3D composition: when ``mesh`` also carries a ``seq`` axis (make_pp_mesh
+    with n_seq), each microbatch's token axis shards over it and every
+    stage's attention runs as the parallel/sp.py KV ring — both schedules
+    are explicit shard_map programs over disjoint axes, so they compose in
+    ONE shard_map: GPipe ticks over ``stage``, ring hops over ``seq``, the
+    batch over ``data``. Indivisible sequence lengths pad exactly like
+    pure SP (pad_seq_and_mask).
     """
+    from clip_lora_match_tpu.parallel.sp import (
+        SEQ_AXIS,
+        pad_seq_and_mask,
+        seq_mask_spec,
+    )
+
     n_stages = mesh.shape[STAGE_AXIS]
     M = n_microbatches
+    seq_mode = SEQ_AXIS in mesh.axis_names
+    n_seq = mesh.shape[SEQ_AXIS] if seq_mode else 1
 
     def pipeline_transformer(
         blocks: Params,
@@ -145,6 +175,11 @@ def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
                 f"shards × {M} microbatches"
             )
 
+        S = x.shape[1]
+        pad_s = 0
+        if seq_mode:
+            x, mask, pad_s = pad_seq_and_mask(x, mask, n_seq)
+
         # mask with a real batch dim must be microbatched alongside x;
         # batch-1 (pure causal) masks are tick-invariant
         batch_mask = mask is not None and mask.shape[0] > 1
@@ -153,7 +188,11 @@ def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
         opt_specs = {}
         if mask is not None:
             opt["mask"] = mask
-            opt_specs["mask"] = P(DATA_AXIS) if batch_mask else P()
+            opt_specs["mask"] = (
+                seq_mask_spec(mask)
+                if seq_mode
+                else (P(DATA_AXIS) if batch_mask else P())
+            )
         if lora_blocks is not None:
             opt["lora"] = lora_blocks
             opt_specs["lora"] = jax.tree_util.tree_map(
@@ -171,11 +210,21 @@ def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
             )
             lora_loc = opt_loc.get("lora")
 
+            ring_core = None
+            if seq_mode:
+                from clip_lora_match_tpu.ops.ring_attention import (
+                    ring_attention,
+                )
+
+                def ring_core(qh, kh, vh, m):
+                    return ring_attention(qh, kh, vh, SEQ_AXIS, mask=m)
+
             def stage_fn(xmb, m):
                 return transformer(
                     blocks_loc, xmb, num_heads, mask=m,
                     lora_blocks=lora_loc, lora_scaling=lora_scaling, eps=eps,
                     compute_dtype=compute_dtype, remat=remat, unroll=unroll,
+                    core_attn_fn=ring_core,
                 )
 
             ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -219,14 +268,16 @@ def make_pipeline_transformer(mesh: Mesh, n_microbatches: int):
             outputs = lax.all_gather(outputs, STAGE_AXIS)[n_stages - 1]
             return outputs.reshape(x_loc.shape)
 
+        x_spec = P(DATA_AXIS, SEQ_AXIS) if seq_mode else P(DATA_AXIS)
         fn = compat_shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(STAGE_AXIS), P(DATA_AXIS), opt_specs),
-            out_specs=P(DATA_AXIS),
+            in_specs=(P(STAGE_AXIS), x_spec, opt_specs),
+            out_specs=x_spec,
             check_rep=False,
         )
-        return fn(blocks, x, opt)
+        out = fn(blocks, x, opt)
+        return out[:, :S] if pad_s else out
 
     return pipeline_transformer
 

@@ -76,6 +76,72 @@ def shard_clip_sp(tree: Params, mesh: Mesh) -> Params:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def pad_seq_and_mask(
+    x: jnp.ndarray, mask: Optional[jnp.ndarray], n_seq: int
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray], int]:
+    """Validate + pad (x, mask) for a ``n_seq``-way sequence shard.
+
+    Returns (x_padded, mask_padded_or_None, pad). Shared by the pure-SP
+    executor below and the dp×pp×sp composition (parallel/pp.py).
+
+    Mask contract: the ring slices key columns by GLOBAL position and shards
+    query rows, so broadcastable shorthands must be explicit enough to tell
+    rows from keys — 4-dim, full key dim, rows either full or a broadcast 1.
+    On padding, KEY columns always extend at the floor (pad keys must never
+    receive attention mass in any layer); QUERY rows extend only when the
+    mask is per-row — a broadcast row mask must STAY broadcast, or devices
+    past the first would see all-floor rows. Pad query rows then compute
+    unmasked garbage that the caller slices off, and their floor-masked key
+    columns keep them out of real rows.
+    """
+    B, S, D = x.shape
+    if mask is not None:
+        if mask.ndim != 4:
+            raise ValueError(
+                f"SP needs an explicit 4-dim additive mask (broadcastable "
+                f"dims of size 1 allowed), got ndim={mask.ndim}"
+            )
+        if mask.shape[3] != S or mask.shape[2] not in (1, S):
+            raise ValueError(
+                f"SP mask must have key dim {S} and query-row dim 1 or "
+                f"{S}, got {mask.shape}"
+            )
+    S_pad = -(-S // n_seq) * n_seq
+    pad = S_pad - S
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(
+                mask.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, 0), (0, pad)),
+                constant_values=float(_MASK_FLOOR),
+            )
+            if mask.shape[2] > 1:
+                mask = jnp.pad(
+                    mask,
+                    ((0, 0), (0, 0), (0, pad), (0, 0)),
+                    constant_values=float(_MASK_FLOOR),
+                )
+        else:
+            cols = jnp.where(
+                jnp.arange(S_pad) < S, jnp.float32(0), _MASK_FLOOR
+            )
+            mask = jnp.broadcast_to(cols, (1, 1, 1, S_pad))
+    return x, mask, pad
+
+
+def seq_mask_spec(mask: jnp.ndarray) -> P:
+    """PartitionSpec for a (validated, possibly padded) SP mask: batch over
+    ``data`` when per-row batched, query rows over ``seq`` when explicit,
+    key columns always FULL (the ring slices them per step)."""
+    return P(
+        DATA_AXIS if mask.shape[0] > 1 else None,
+        None,
+        SEQ_AXIS if mask.shape[2] > 1 else None,
+        None,
+    )
+
+
 def make_sp_transformer(mesh: Mesh):
     """A drop-in for ``nn.layers.transformer`` that shards the SEQUENCE axis
     over ``mesh``'s ``seq`` axis and runs attention as a KV ring.
@@ -111,63 +177,13 @@ def make_sp_transformer(mesh: Mesh):
             raise ValueError(
                 f"global batch {B} must divide the data axis ({n_data})"
             )
-        if mask is not None:
-            # the ring slices key columns by GLOBAL position and shards query
-            # rows, so broadcastable shorthands must be explicit enough to
-            # tell rows from keys: 4-dim, full key dim, rows either full or
-            # a broadcast 1
-            if mask.ndim != 4:
-                raise ValueError(
-                    f"SP needs an explicit 4-dim additive mask "
-                    f"(broadcastable dims of size 1 allowed), got "
-                    f"ndim={mask.ndim}"
-                )
-            if mask.shape[3] != S or mask.shape[2] not in (1, S):
-                raise ValueError(
-                    f"SP mask must have key dim {S} and query-row dim 1 or "
-                    f"{S}, got {mask.shape}"
-                )
-        S_pad = -(-S // n_seq) * n_seq
-        pad = S_pad - S
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-            if mask is not None:
-                # KEY columns always extend at the floor: pad keys must never
-                # receive attention mass in any layer. QUERY rows extend only
-                # when the mask is per-row (shape[2] == S) — a broadcast row
-                # mask (shape[2] == 1) must STAY broadcast, or devices past
-                # the first would see all-floor rows; pad query rows then
-                # compute unmasked garbage that is sliced off below, and
-                # their floor-masked key columns keep them out of real rows
-                mask = jnp.pad(
-                    mask.astype(jnp.float32),
-                    ((0, 0), (0, 0), (0, 0), (0, pad)),
-                    constant_values=float(_MASK_FLOOR),
-                )
-                if mask.shape[2] > 1:
-                    mask = jnp.pad(
-                        mask,
-                        ((0, 0), (0, 0), (0, pad), (0, 0)),
-                        constant_values=float(_MASK_FLOOR),
-                    )
-            else:
-                cols = jnp.where(
-                    jnp.arange(S_pad) < S, jnp.float32(0), _MASK_FLOOR
-                )
-                mask = jnp.broadcast_to(cols, (1, 1, 1, S_pad))
-        batch_mask = mask is not None and mask.shape[0] > 1
+        x, mask, pad = pad_seq_and_mask(x, mask, n_seq)
 
         opt = {}
         opt_specs = {}
         if mask is not None:
-            # rows shard with their queries over ``seq``; every device keeps
-            # ALL key columns of its rows — the ring slices the column block
-            # matching each step's KV origin (ops/ring_attention.py)
-            row_axis = SEQ_AXIS if mask.shape[2] > 1 else None
             opt["mask"] = mask
-            opt_specs["mask"] = P(
-                DATA_AXIS if batch_mask else None, None, row_axis, None
-            )
+            opt_specs["mask"] = seq_mask_spec(mask)
         if lora_blocks is not None:
             opt["lora"] = lora_blocks
             opt_specs["lora"] = jax.tree_util.tree_map(

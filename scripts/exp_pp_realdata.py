@@ -78,6 +78,32 @@ def main():
     assert err < 1e-4 and cos > 0.999999, (err, cos)
     print("PP on real reference images: OK")
 
+    # 3D composition: GPipe stages × KV-ring sequence shard × data — the
+    # vision tower's S=50 splits 25/25 over the seq axis inside each stage
+    mesh3 = make_pp_mesh(n_stage=2, n_data=2, n_seq=2)
+    pipe3 = make_pipeline_transformer(mesh3, n_microbatches=2)
+    t0 = time.time()
+    with mesh3:
+        params_g3 = shard_clip_pp(params, mesh3)
+        got3 = np.asarray(
+            jax.jit(
+                lambda p, x: clip_model.encode_image_features(
+                    p, x, arch, transformer_fn=pipe3
+                )
+            )(params_g3, pix)
+        )
+    print(f"dp2xpp2xsp2 tower: {time.time() - t0:.1f}s")
+    err3 = float(np.max(np.abs(got3 - ref)))
+    cos3 = float(
+        np.min(
+            np.sum(got3 * ref, axis=1)
+            / (np.linalg.norm(got3, axis=1) * np.linalg.norm(ref, axis=1))
+        )
+    )
+    print(f"3D max abs delta {err3:.2e}, min cosine {cos3:.9f}")
+    assert err3 < 1e-4 and cos3 > 0.999999, (err3, cos3)
+    print("dp2xpp2xsp2 on real reference images: OK")
+
 
 if __name__ == "__main__":
     main()

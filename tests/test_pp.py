@@ -183,6 +183,83 @@ def test_pp_train_step_matches_single_device():
     np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("S", [16, 13])  # 13: the pad path (13 → 14 on seq=2)
+def test_pp_sp_3d_transformer_matches_scan(S):
+    """dp2×pp2×sp2: GPipe ticks over ``stage`` with a KV ring over ``seq``
+    inside every stage — both explicit schedules compose in one shard_map
+    and must still reproduce the plain scan (causal mask + LoRA active)."""
+    blocks = _blocks(jax.random.PRNGKey(0), 4, 64, 128)
+    lora_blocks = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        init_lora(jax.random.PRNGKey(1), ARCH, LoraConfig(r=4, alpha=8))
+        ["visual"]["blocks"],
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, S, 64), jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    mask = jnp.triu(jnp.full((S, S), neg, jnp.float32), k=1)[None, None]
+
+    ref = jax.jit(
+        lambda b, x, lb: transformer(
+            b, x, 4, mask=mask, lora_blocks=lb, lora_scaling=2.0
+        )
+    )(blocks, x, lora_blocks)
+
+    mesh = make_pp_mesh(n_stage=2, n_data=2, n_seq=2)
+    pipe = make_pipeline_transformer(mesh, n_microbatches=2)
+    with mesh:
+        got = jax.jit(
+            lambda b, x, lb: pipe(
+                b, x, 4, mask=mask, lora_blocks=lb, lora_scaling=2.0
+            )
+        )(blocks, x, lora_blocks)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_pp_sp_3d_train_step_matches_single_device():
+    """Full dp2×pp2×sp2 training (2 steps, both towers as pipelined ring
+    programs; the vision tower's S=5 pads to 6) reproduces the
+    single-device loss trajectory."""
+    lora_cfg = LoraConfig(r=4, alpha=8, dropout=0.0)
+    train_cfg = TrainingConfig(batch_size=16)
+    params = clip_model.init_params(jax.random.PRNGKey(0), ARCH)
+    lora = init_lora(jax.random.PRNGKey(1), ARCH, lora_cfg)
+    tx, _ = make_optimizer(train_cfg, total_steps=10)
+
+    rng = np.random.default_rng(0)
+    B = train_cfg.batch_size
+    ids = np.full((B, ARCH.max_text_length), 513, np.int32)
+    ids[:, 0] = 512
+    ids[:, 1] = rng.integers(0, 512, B)
+    batch = {
+        "pixel_values": rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+
+    state = init_train_state(lora, tx, seed=0)
+    step = make_train_step(params, ARCH, lora_cfg, train_cfg, tx, eot_id=513)
+    ref_losses = []
+    for _ in range(2):
+        state, m = step(state, batch)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_pp_mesh(n_stage=2, n_data=2, n_seq=2)
+    pp_step = make_pp_train_step(
+        params, ARCH, lora_cfg, train_cfg, tx, mesh, n_microbatches=2,
+        eot_id=513,
+    )
+    with mesh:
+        params_g = shard_clip_pp(params, mesh)
+        state_g = init_pp_train_state(shard_clip_pp(lora, mesh), tx, seed=0)
+        losses = []
+        for _ in range(2):
+            state_g, m = pp_step.inner(params_g, state_g, batch)
+            losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-6)
+
+
 def test_pp_train_step_rejects_dropout():
     """Silently disabling LoRA dropout would train a different recipe than
     the DP/TP steps — the PP step must refuse it loudly."""
