@@ -67,16 +67,22 @@ def main():
             params, arch, lora_cfg, tcfg, tx, chain=K,
             eot_id=arch.vocab_size - 1, compute_dtype=jnp.bfloat16,
         )
+        # Mirror the production token stream (advisor r3): padded text with a
+        # real EOT at a mid-row position and zeroed mask past it, so EOT
+        # pooling and the pad-mask branch are in the timed program.
+        ids = rng.integers(0, arch.vocab_size - 2, (B, 64)).astype(np.int32)
+        eot_pos = 48
+        ids[:, eot_pos] = arch.vocab_size - 1
+        mask = np.zeros((B, 64), np.int32)
+        mask[:, : eot_pos + 1] = 1
         one = {
             "pixel_values": jnp.asarray(
                 rng.normal(
                     size=(B, arch.image_size, arch.image_size, 3)
                 ).astype(np.float32)
             ),
-            "input_ids": jnp.asarray(
-                rng.integers(0, arch.vocab_size - 2, (B, 64)).astype(np.int32)
-            ),
-            "attention_mask": jnp.asarray(np.ones((B, 64), np.int32)),
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.asarray(mask),
         }
         batches = {k: jnp.broadcast_to(v, (K,) + v.shape)
                    for k, v in one.items()}
