@@ -481,7 +481,43 @@ def _jpeg_to_embedding_extra(params, arch) -> dict:
         file=sys.stderr,
     )
     assert out.shape == (len(paths), arch.projection_dim)
-    return {"jpeg_e2e_images_per_sec": round(rate, 1), "jpeg_e2e_files": len(paths)}
+    res = {"jpeg_e2e_images_per_sec": round(rate, 1), "jpeg_e2e_files": len(paths)}
+
+    # --- photo-size corpus (r4): the reference's REAL inputs are camera
+    # photos (data/reported/images: 899×1599), not 224px renders; decode
+    # dominates there and the DCT-scaled path (native/clm_native.cpp v3)
+    # earns its keep: host-only decode measured 51 → 320 img/s at 1200×1600.
+    from PIL import Image
+
+    photo_dir = os.path.join(tempfile.gettempdir(), "clm_bench_photo_192")
+    os.makedirs(photo_dir, exist_ok=True)
+    photo_paths = sorted(glob.glob(os.path.join(photo_dir, "*.jpg")))
+    if len(photo_paths) < 192:
+        photo_paths = []
+        for i, src in enumerate(paths[:192]):
+            pth = os.path.join(photo_dir, f"{i:04d}.jpg")
+            if not os.path.exists(pth):
+                Image.open(src).resize((1200, 1600), Image.BILINEAR).save(
+                    pth, quality=90
+                )
+            photo_paths.append(pth)
+    enc.encode_image_files(photo_paths[:96], batch_size=96)  # warm bucket
+    t0 = time.perf_counter()
+    out = enc.encode_image_files(photo_paths, batch_size=96, dct_scale=True)
+    dt_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enc.encode_image_files(photo_paths, batch_size=96, dct_scale=False)
+    dt_full = time.perf_counter() - t0
+    n_p = len(photo_paths)
+    print(
+        f"[bench] jpeg→embedding PHOTO (1200×1600): dct {n_p/dt_fast:,.0f} "
+        f"img/s vs full {n_p/dt_full:,.0f} img/s",
+        file=sys.stderr,
+    )
+    assert out.shape == (n_p, arch.projection_dim)
+    res["jpeg_e2e_photo_images_per_sec"] = round(n_p / dt_fast, 1)
+    res["jpeg_e2e_photo_fulldecode_images_per_sec"] = round(n_p / dt_full, 1)
+    return res
 
 
 def _yolo_extra() -> dict:

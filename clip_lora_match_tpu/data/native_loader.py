@@ -64,6 +64,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
+        # v3 ABI: trailing int enables DCT-domain scaled decode
+        if lib.clm_native_version() < 3:
+            raise RuntimeError("stale libclm_native.so (need ABI v3)")
         lib.clm_preprocess_batch.restype = ctypes.c_int
         lib.clm_preprocess_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -74,18 +77,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
         ]
-        if lib.clm_native_version() >= 2:
-            lib.clm_preprocess_batch_u8.restype = ctypes.c_int
-            lib.clm_preprocess_batch_u8.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_ubyte),
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_ubyte),
-            ]
-        assert lib.clm_native_version() >= 1
+        lib.clm_preprocess_batch_u8.restype = ctypes.c_int
+        lib.clm_preprocess_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
     except Exception as e:
@@ -98,13 +101,28 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def _dct_scale_default() -> bool:
+    """DCT-domain scaled decode (libjpeg scale_num/denom): decode at the
+    smallest N/8 scale that still covers the target short side, then cubic to
+    exact size. Skips most of the IDCT + resample work for large photos
+    (measured 51 → 320 img/s at 1200×1600 on this host); the lowpass differs
+    slightly from a full decode, so the DEFAULT here is OFF (strict PIL
+    pixel parity) and the throughput path (ClipEncoder.encode_image_files)
+    opts in — embedding parity stays ≥0.999 (tests/test_native_loader.py).
+    CLM_NATIVE_DCT_SCALE=1 flips the global default."""
+    return os.environ.get("CLM_NATIVE_DCT_SCALE", "0") not in ("0", "false")
+
+
 def preprocess_image_batch_native(
     paths: Sequence[str],
     cfg: Optional[PreprocessConfig] = None,
     num_threads: Optional[int] = None,
+    dct_scale: Optional[bool] = None,
 ) -> np.ndarray:
     """(paths) → (N, S, S, 3) float32; failed rows redone via the PIL path."""
     cfg = cfg or PreprocessConfig()
+    if dct_scale is None:
+        dct_scale = _dct_scale_default()
     n = len(paths)
     size = cfg.image_size
     out = np.empty((n, size, size, 3), np.float32)
@@ -125,6 +143,7 @@ def preprocess_image_batch_native(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             num_threads or max(1, (os.cpu_count() or 1)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            int(dct_scale),
         )
     # fallback rows (non-JPEG, corrupt, or native lib missing)
     if not ok.all():
@@ -139,12 +158,15 @@ def preprocess_image_batch_native_u8(
     paths: Sequence[str],
     cfg: Optional[PreprocessConfig] = None,
     num_threads: Optional[int] = None,
+    dct_scale: Optional[bool] = None,
 ) -> np.ndarray:
     """(paths) → (N, S, S, 3) uint8 RGB, resized + center-cropped but NOT
     normalized. Feeding uint8 and normalizing on-device is 4x less
     host→device traffic than the fp32 variant — the dominant cost of the
     end-to-end jpeg→embedding path through the TPU relay."""
     cfg = cfg or PreprocessConfig()
+    if dct_scale is None:
+        dct_scale = _dct_scale_default()
     n = len(paths)
     size = cfg.image_size
     out = np.empty((n, size, size, 3), np.uint8)
@@ -152,7 +174,7 @@ def preprocess_image_batch_native_u8(
         return out
     lib = get_lib()
     ok = np.zeros(n, np.uint8)
-    if lib is not None and lib.clm_native_version() >= 2:
+    if lib is not None:
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         lib.clm_preprocess_batch_u8(
             c_paths,
@@ -161,6 +183,7 @@ def preprocess_image_batch_native_u8(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             num_threads or max(1, (os.cpu_count() or 1)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            int(dct_scale),
         )
     if not ok.all():
         from clip_lora_match_tpu.preprocess.image import load_resized_cropped_u8

@@ -20,16 +20,30 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def compat_shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-    """shard_map across the jax 0.8 API rename (check_rep → check_vma)."""
+def compat_shard_map(f, mesh, in_specs, out_specs, check_rep=False,
+                     axis_names=None):
+    """shard_map across the jax 0.8 API rename (check_rep → check_vma).
+
+    ``axis_names``: optional subset of mesh axes to run MANUAL; the rest
+    stay GSPMD-auto inside the body (the seam that lets the shard_map
+    executors — PP ticks, SP ring — compose with annotation-driven TP:
+    params stay sharded over the auto ``model`` axis and GSPMD inserts the
+    Megatron psums inside the manual region)."""
     try:
         from jax import shard_map as _sm  # jax ≥ 0.8
 
+        kw = {}
+        if axis_names is not None:
+            kw["axis_names"] = frozenset(axis_names)
         return _sm(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=check_rep,
+            check_vma=check_rep, **kw,
         )
     except ImportError:  # pragma: no cover - older jax
+        if axis_names is not None:
+            raise NotImplementedError(
+                "partial-manual shard_map (axis_names) needs jax >= 0.8"
+            )
         from jax.experimental.shard_map import shard_map as _sm
 
         return _sm(

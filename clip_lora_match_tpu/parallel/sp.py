@@ -53,20 +53,36 @@ Params = dict[str, Any]
 def make_sp_mesh(
     n_seq: int,
     n_data: Optional[int] = None,
+    n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """(data, seq) mesh; seq is minor so the KV ring rides neighbor ICI."""
+    """(data, seq) mesh; seq is minor so the KV ring rides neighbor ICI.
+
+    ``n_model > 1`` inserts a GSPMD-auto ``model`` axis between them —
+    dp×tp×sp: the SP shard_map runs MANUAL over (data, seq) while Megatron
+    TP shardings over ``model`` propagate through it (see
+    mesh.compat_shard_map's axis_names). model sits next to seq so both
+    all-reduce-ish axes ride short ICI hops."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_seq
-    if n_data < 1 or len(devices) < n_data * n_seq:
+        n_data = len(devices) // (n_seq * n_model)
+    need = max(n_data, 1) * n_seq * n_model
+    if n_data < 1 or len(devices) < n_data * n_seq * n_model:
         raise ValueError(
-            f"need {max(n_data, 1)}×{n_seq}={max(n_data, 1) * n_seq} devices "
-            f"for a (data, seq) mesh, have {len(devices)} — on CPU set "
+            f"need {need} devices for a (data, model, seq)="
+            f"({max(n_data, 1)}, {n_model}, {n_seq}) mesh, have "
+            f"{len(devices)} — on CPU set "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N"
         )
-    arr = np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq)
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+    if n_model == 1:
+        arr = np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+    from clip_lora_match_tpu.parallel.mesh import MODEL_AXIS
+
+    arr = np.array(devices[: n_data * n_model * n_seq]).reshape(
+        n_data, n_model, n_seq
+    )
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def shard_clip_sp(tree: Params, mesh: Mesh) -> Params:
@@ -74,6 +90,17 @@ def shard_clip_sp(tree: Params, mesh: Mesh) -> Params:
     activations shard — that is the point of sequence parallelism)."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_clip_sp_tp(tree: Params, mesh: Mesh, lora: bool = False) -> Params:
+    """Place a tree for dp×tp×sp: Megatron TP splits over the mesh's
+    ``model`` axis (parallel/tp.py specs), replicated over data/seq."""
+    from clip_lora_match_tpu.parallel.tp import clip_tp_pspecs, lora_tp_pspecs
+
+    specs = (lora_tp_pspecs if lora else clip_tp_pspecs)(tree)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
 
 
 def pad_seq_and_mask(
@@ -152,6 +179,16 @@ def make_sp_transformer(mesh: Mesh):
     """
     n_seq = mesh.shape[SEQ_AXIS]
     n_data = mesh.shape[DATA_AXIS]
+    # dp×tp×sp: a ``model`` axis on the mesh stays GSPMD-AUTO inside the
+    # shard_map — params keep their Megatron TP shardings and GSPMD inserts
+    # the row-parallel psums inside the manual (data, seq) region.
+    from clip_lora_match_tpu.parallel.mesh import MODEL_AXIS
+
+    manual_axes = (
+        frozenset({DATA_AXIS, SEQ_AXIS})
+        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+        else None
+    )
 
     def sp_transformer(
         blocks: Params,
@@ -214,6 +251,7 @@ def make_sp_transformer(mesh: Mesh):
             in_specs=(P(), P(DATA_AXIS, SEQ_AXIS), opt_specs),
             out_specs=P(DATA_AXIS, SEQ_AXIS),
             check_rep=False,
+            axis_names=manual_axes,
         )
         out = fn(blocks, x, opt)
         return out[:, :S] if pad else out
@@ -261,6 +299,14 @@ def make_sp_train_step(
             "LoraConfig with dropout=0.0 — silently disabling it would "
             "train a different recipe than the DP/TP steps"
         )
+    from clip_lora_match_tpu.parallel.mesh import MODEL_AXIS
+
+    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        # dp×tp×sp: params must be placed with shard_clip_sp_tp and the TP
+        # splits must divide heads/mlp — same contract as parallel/tp.py.
+        from clip_lora_match_tpu.parallel.tp import check_tp_divisibility
+
+        check_tp_divisibility(arch, mesh.shape[MODEL_AXIS])
     # with dropout enforced off, make_train_step's program is EXACTLY the
     # production step with the ring executor injected into both towers
     return make_train_step(

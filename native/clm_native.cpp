@@ -48,7 +48,15 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG file to RGB8. Returns true on success.
-bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
+//
+// target_short > 0 enables DCT-domain scaling (libjpeg scale_num/scale_denom,
+// N/8 steps): decode at the smallest scale whose SHORT side still covers
+// target_short, then let the caller's cubic resample close the gap. For a
+// 4000px photo headed to 224 this skips ~7/8 of the IDCT and feeds the
+// resampler ~1/64 of the pixels — the decode is the measured bottleneck of
+// the jpeg→embedding path on this host (BENCH r3: 425 img/s, TPU side ~11k).
+bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
+                 int target_short = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -64,6 +72,20 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_short > 0) {
+    // smallest N/8 in 1..8 whose scaled short side >= target_short (never
+    // upscale in the DCT domain; scale 8/8 = full decode)
+    for (int s = 1; s <= 8; ++s) {
+      cinfo.scale_num = s;
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(
+              cinfo.output_width < cinfo.output_height ? cinfo.output_width
+                                                       : cinfo.output_height) >=
+          target_short)
+        break;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
@@ -184,10 +206,10 @@ void resample(const std::vector<uint8_t>& in, int in_w, int in_h,
 
 // Full pipeline for one image → float32 (size, size, 3) normalized.
 bool preprocess_one(const char* path, int size, const float* mean,
-                    const float* stddev, float* out) {
+                    const float* stddev, float* out, int dct_scale) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
+  if (!decode_jpeg(path, rgb, w, h, dct_scale ? size : 0)) return false;
   // shortest-edge resize (truncating long edge like the Python pipeline)
   int nw, nh;
   if (w <= h) {
@@ -223,10 +245,11 @@ bool preprocess_one(const char* path, int size, const float* mean,
 // Decode → resize → center-crop only, uint8 RGB out (normalization happens
 // on-device: feeding uint8 is 4x less host→device traffic than fp32, which
 // dominates end-to-end throughput through the TPU relay).
-bool preprocess_one_u8(const char* path, int size, uint8_t* out) {
+bool preprocess_one_u8(const char* path, int size, uint8_t* out,
+                       int dct_scale) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
+  if (!decode_jpeg(path, rgb, w, h, dct_scale ? size : 0)) return false;
   int nw, nh;
   if (w <= h) {
     nw = size;
@@ -260,7 +283,7 @@ extern "C" {
 // resized+cropped but NOT normalized.
 int clm_preprocess_batch_u8(const char** paths, int n, int size,
                             unsigned char* out, int num_threads,
-                            unsigned char* ok) {
+                            unsigned char* ok, int dct_scale) {
   if (num_threads < 1) num_threads = 1;
   std::atomic<int> next(0), good(0);
   auto worker = [&]() {
@@ -268,7 +291,7 @@ int clm_preprocess_batch_u8(const char** paths, int n, int size,
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* dst = out + static_cast<size_t>(i) * size * size * 3;
-      bool success = preprocess_one_u8(paths[i], size, dst);
+      bool success = preprocess_one_u8(paths[i], size, dst, dct_scale);
       ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
     }
@@ -286,7 +309,7 @@ int clm_preprocess_batch_u8(const char** paths, int n, int size,
 // Returns the number of successfully processed images.
 int clm_preprocess_batch(const char** paths, int n, int size,
                          const float* mean, const float* stddev, float* out,
-                         int num_threads, unsigned char* ok) {
+                         int num_threads, unsigned char* ok, int dct_scale) {
   if (num_threads < 1) num_threads = 1;
   std::atomic<int> next(0), good(0);
   auto worker = [&]() {
@@ -294,7 +317,8 @@ int clm_preprocess_batch(const char** paths, int n, int size,
       int i = next.fetch_add(1);
       if (i >= n) return;
       float* dst = out + static_cast<size_t>(i) * size * size * 3;
-      bool success = preprocess_one(paths[i], size, mean, stddev, dst);
+      bool success = preprocess_one(paths[i], size, mean, stddev, dst,
+                                    dct_scale);
       ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
     }
@@ -308,6 +332,6 @@ int clm_preprocess_batch(const char** paths, int n, int size,
 }
 
 // Version probe for the ctypes wrapper.
-int clm_native_version() { return 2; }
+int clm_native_version() { return 3; }
 
 }  // extern "C"

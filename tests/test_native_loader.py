@@ -143,7 +143,76 @@ def test_encode_image_files_matches_per_image_path(tmp_path):
             rng.integers(0, 255, (60, 50, 3), dtype=np.uint8), "RGB"
         ).save(p, quality=95)
         paths.append(str(p))
-    fast = enc.encode_image_files(paths, batch_size=2)
+    # dct_scale off: these are random-noise jpegs (pathological for the DCT
+    # lowpass); this test pins PIPELINE equivalence, test_dct_scale_photo_
+    # parity pins the scaled-decode tolerance on real photos
+    fast = enc.encode_image_files(paths, batch_size=2, dct_scale=False)
     slow = enc.encode_image(paths)
     cos = (fast * slow).sum(axis=1)
     assert (cos > 0.9999).all(), cos
+
+
+def test_dct_scale_default_off_is_pil_exact(jpegs):
+    """dct_scale defaults OFF in the low-level API: output must be identical
+    to an explicit dct_scale=False call (strict PIL-parity contract)."""
+    a = preprocess_image_batch_native(jpegs)
+    b = preprocess_image_batch_native(jpegs, dct_scale=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dct_scale_photo_parity(reference_root):
+    """DCT-scaled decode on the reference's real photos: pixel-level close
+    (the N/8 DCT lowpass vs full decode + cubic) and embedding-level
+    ≥0.999 cosine — VERDICT r3 #3's 'embeddings within parity tolerance'."""
+    paths = sorted(
+        glob.glob(os.path.join(reference_root, "data/custom/images/*.jpg"))
+    ) + sorted(
+        glob.glob(os.path.join(reference_root, "data/reported/images/*.jpg"))
+    )
+    assert len(paths) >= 6
+    full = preprocess_image_batch_native(paths, dct_scale=False)
+    fast = preprocess_image_batch_native(paths, dct_scale=True)
+    assert np.abs(full - fast).mean() < 0.03
+
+    # embedding parity on a random-weight tower (zero egress — weights don't
+    # matter for this: a lowpass-induced embedding rotation would show up
+    # regardless of where the tower's random features point)
+    import jax
+    from clip_lora_match_tpu.core.config import ClipArchConfig
+    from clip_lora_match_tpu.models import clip as clip_model
+
+    arch = ClipArchConfig(
+        image_size=224, patch_size=32, vision_width=128, vision_layers=2,
+        vision_heads=4, vision_mlp_dim=256, vocab_size=512,
+        max_text_length=16, text_width=64, text_layers=1, text_heads=2,
+        text_mlp_dim=128, projection_dim=32,
+    )
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    emb_full = np.asarray(
+        clip_model.l2_normalize(
+            clip_model.encode_image_features(params, full, arch)
+        )
+    )
+    emb_fast = np.asarray(
+        clip_model.l2_normalize(
+            clip_model.encode_image_features(params, fast, arch)
+        )
+    )
+    cos = (emb_full * emb_fast).sum(-1)
+    assert cos.min() >= 0.999, f"embedding cosine {cos.min()}"
+
+
+def test_dct_scale_small_images_noop(tmp_path):
+    """Images already at/below ~the target short side decode at 8/8 — the
+    DCT path must be a byte-exact no-op there (no accidental upscaling)."""
+    rng = np.random.default_rng(9)
+    paths = []
+    for i, (w, h) in enumerate([(224, 224), (100, 80), (230, 240)]):
+        p = tmp_path / f"s{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(p, quality=95)
+        paths.append(str(p))
+    a = preprocess_image_batch_native(paths, dct_scale=False)
+    b = preprocess_image_batch_native(paths, dct_scale=True)
+    np.testing.assert_array_equal(a, b)

@@ -319,3 +319,71 @@ def test_sp_mesh_rejects_device_shortfall():
     # EMPTY mesh instead of the explanatory error
     with pytest.raises(ValueError, match="devices"):
         make_sp_mesh(n_seq=16)
+
+
+def test_dp_tp_sp_train_step_matches_single_device():
+    """4-axis composition (VERDICT r3 #9): dp2×tp2×sp2 on 8 devices — the
+    SP shard_map runs manual over (data, seq) while Megatron TP shardings
+    over the GSPMD-auto ``model`` axis propagate through it (psums inserted
+    inside the manual region). Must reproduce the single-device loss
+    trajectory, proving every parallel axis composes with every other."""
+    from clip_lora_match_tpu.parallel import init_tp_train_state, shard_clip_sp_tp
+
+    lora_cfg = LoraConfig(r=4, alpha=8, dropout=0.0)
+    train_cfg = TrainingConfig(batch_size=16)
+    params = clip_model.init_params(jax.random.PRNGKey(0), ARCH)
+    lora = init_lora(jax.random.PRNGKey(1), ARCH, lora_cfg)
+    tx, _ = make_optimizer(train_cfg, total_steps=10)
+
+    rng = np.random.default_rng(0)
+    B = train_cfg.batch_size
+    ids = np.full((B, ARCH.max_text_length), 513, np.int32)
+    ids[:, 0] = 512
+    ids[:, 1] = rng.integers(0, 512, B)
+    batch = {
+        "pixel_values": rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+
+    state = init_train_state(lora, tx, seed=0)
+    step = make_train_step(params, ARCH, lora_cfg, train_cfg, tx, eot_id=513)
+    ref_losses = []
+    for _ in range(2):
+        state, m = step(state, batch)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_sp_mesh(n_seq=2, n_data=2, n_model=2)
+    assert mesh.axis_names == ("data", "model", "seq")
+    step3 = make_sp_train_step(
+        params, ARCH, lora_cfg, train_cfg, tx, mesh, eot_id=513
+    )
+    with mesh:
+        params_g = shard_clip_sp_tp(params, mesh)
+        lora_g = shard_clip_sp_tp(lora, mesh, lora=True)
+        state_g = init_tp_train_state(lora_g, tx, seed=0)
+        losses = []
+        for _ in range(2):
+            state_g, m = step3.inner(params_g, state_g, batch)
+            losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_tp_sp_rejects_indivisible_heads():
+    from clip_lora_match_tpu.core.config import ClipArchConfig
+
+    bad = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=63, vision_layers=1,
+        vision_heads=3, vision_mlp_dim=126, vocab_size=600,
+        max_text_length=16, text_width=32, text_layers=1, text_heads=4,
+        text_mlp_dim=64, projection_dim=16,
+    )
+    params = clip_model.init_params(jax.random.PRNGKey(0), bad)
+    tx, _ = make_optimizer(TrainingConfig(batch_size=16), total_steps=10)
+    mesh = make_sp_mesh(n_seq=2, n_data=2, n_model=2)
+    with pytest.raises(ValueError, match="heads"):
+        make_sp_train_step(
+            params, bad, LoraConfig(r=4, alpha=8, dropout=0.0),
+            TrainingConfig(batch_size=16), tx, mesh, eot_id=513,
+        )
