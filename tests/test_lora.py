@@ -160,3 +160,103 @@ def test_peft_export_roundtrip(tmp_path):
     la, lb = jax.tree_util.tree_flatten(lora)[0], jax.tree_util.tree_flatten(loaded)[0]
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_qkv_lora_shared_custom_vjp_matches_ad():
+    """_qkv_lora_shared (shared-mask fused QKV LoRA, train fast path): the
+    mask-recomputing custom_vjp must match plain jax AD of the same math,
+    and reduce to the exact no-dropout delta at rate=0."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_lora_match_tpu.nn import layers as L
+
+    B, S, D, r = 4, 6, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (B, S, D), jnp.float32)
+    a_cat = jax.random.normal(ks[1], (D, 3 * r)) * 0.1
+    b_stk = jax.random.normal(ks[2], (3, r, D)) * 0.1
+    rng = jax.random.PRNGKey(7)
+    scaling, rate = 2.0, 0.1
+
+    def oracle(x, a_cat, b_stk):
+        keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        xl = jnp.where(keep, x / (1.0 - rate), 0.0)
+        d = (xl @ a_cat).reshape(B, S, 3, r)
+        return scaling * jnp.einsum("bstr,trd->bstd", d, b_stk)
+
+    out = L._qkv_lora_shared(x, a_cat, b_stk, rng, scaling, rate)
+    np.testing.assert_allclose(out, oracle(x, a_cat, b_stk), atol=1e-6)
+
+    g1 = jax.grad(
+        lambda *t: jnp.sum(jnp.sin(L._qkv_lora_shared(*t, rng, scaling, rate))),
+        argnums=(0, 1, 2),
+    )(x, a_cat, b_stk)
+    g2 = jax.grad(
+        lambda *t: jnp.sum(jnp.sin(oracle(*t))), argnums=(0, 1, 2)
+    )(x, a_cat, b_stk)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(u, v, atol=1e-5)
+
+    out0 = L._qkv_lora_shared(x, a_cat, b_stk, rng, scaling, 0.0)
+    ref0 = scaling * jnp.einsum(
+        "bstr,trd->bstd", (x @ a_cat).reshape(B, S, 3, r), b_stk
+    )
+    np.testing.assert_allclose(out0, ref0, atol=1e-6)
+
+
+def test_fused_lora_dropout_train_step_runs_and_learns():
+    """Flag on: the full train step dispatches the shared-mask path, loss is
+    finite and decreases over a few steps (statistical equivalence with the
+    per-proj masks is argued in nn/layers.py; exact equality is not expected
+    because the masks differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_lora_match_tpu.core.config import (
+        ClipArchConfig,
+        LoraConfig,
+        TrainingConfig,
+    )
+    from clip_lora_match_tpu.lora.adapter import init_lora
+    from clip_lora_match_tpu.models import clip as clip_model
+    from clip_lora_match_tpu.nn.layers import set_kernel_flags
+    from clip_lora_match_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    arch = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+        vision_heads=4, vision_mlp_dim=128, vocab_size=600,
+        max_text_length=16, text_width=32, text_layers=2, text_heads=4,
+        text_mlp_dim=64, projection_dim=16,
+    )
+    lora_cfg = LoraConfig(r=4, alpha=8, dropout=0.1)
+    tcfg = TrainingConfig(batch_size=16)
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    lora = init_lora(jax.random.PRNGKey(1), arch, lora_cfg)
+    tx, _ = make_optimizer(tcfg, total_steps=10)
+
+    rng = np.random.default_rng(0)
+    ids = np.full((16, arch.max_text_length), 513, np.int32)
+    ids[:, 0] = 512
+    ids[:, 1] = rng.integers(0, 512, 16)
+    batch = {
+        "pixel_values": rng.normal(size=(16, 32, 32, 3)).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+    prev = set_kernel_flags(fused_lora_dropout=True)
+    try:
+        state = init_train_state(lora, tx, seed=0)
+        step = make_train_step(params, arch, lora_cfg, tcfg, tx, eot_id=513)
+        losses = []
+        for _ in range(6):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+    finally:
+        set_kernel_flags(**prev)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
