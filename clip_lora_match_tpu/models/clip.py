@@ -230,6 +230,18 @@ def encode_text_features(
     x = p["token_embedding"][input_ids]
     x = x + p["pos_embedding"][:S].astype(x.dtype)
     mask = _text_mask(attention_mask, S, x.dtype)
+    extra = {}
+    if transformer_fn is None:
+        # structural mask description for the in-kernel small-attention mode
+        # (ops/attention_small.py): causal + contiguous-prefix key lengths
+        # (the wire contract pads text at the END, so attention_mask rows are
+        # prefixes and sum == length). Alternate executors (SP ring, PP) own
+        # their mask semantics and only receive the additive form.
+        extra = dict(
+            causal=True,
+            key_lengths=None if attention_mask is None
+            else attention_mask.astype(jnp.int32).sum(-1),
+        )
     x = (transformer_fn or transformer)(
         p["blocks"],
         x,
@@ -243,6 +255,7 @@ def encode_text_features(
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
         unroll=unroll,
+        **extra,
     )
     x = layer_norm(p["ln_final"], x, arch.layer_norm_eps)
     if eot_id is None:

@@ -65,6 +65,12 @@ FLASH_MIN_SEQ = 1 << 30
 # Dispatch it only where a single 64-row tile suffices.
 SMALL_ATTN_MAX_SEQ = 64
 
+# Structural (in-kernel causal+lengths mask) dispatch gate: the r3 S=77 loss
+# was the streamed per-batch fp32 mask blocks, not the 77->80 row padding
+# (attention_small pads to the 16-row sublane tile). With the mask computed
+# in-kernel the S<=80 text geometry is admitted; measured on v5e r4.
+SMALL_ATTN_CAUSAL_MAX_SEQ = 80
+
 
 def set_kernel_flags(
     fused_lora: bool | None = None,
@@ -305,8 +311,16 @@ def attention(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     core_attn_fn=None,
+    causal: bool = False,
+    key_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention with optional additive mask.
+
+    ``causal``/``key_lengths``: STRUCTURAL description of ``mask`` (causal +
+    contiguous-prefix key validity). When provided AND the small-attention
+    kernel dispatches, the penalty is rebuilt in-kernel from iota instead of
+    streaming the (B, 1, S, S) fp32 mask (ops/attention_small.py r4). The
+    additive ``mask`` stays authoritative for every other path.
 
     p: {q_proj, k_proj, v_proj, out_proj} each {kernel (D,D), bias (D,)}.
     mask: additive bias broadcastable to (B, 1, S, S) (0 or large-negative).
@@ -420,7 +434,10 @@ def attention(
 
     if core_attn_fn is not None:
         out = core_attn_fn(qh, kh, vh, mask)
-    elif _KERNEL_FLAGS["small_attention"] and S <= SMALL_ATTN_MAX_SEQ:
+    elif _KERNEL_FLAGS["small_attention"] and (
+        S <= SMALL_ATTN_MAX_SEQ
+        or (causal and S <= SMALL_ATTN_CAUSAL_MAX_SEQ)
+    ):
         # NOTE: the small-attention kernel's max-free softmax assumes row
         # logits < 80 (exact softmax within that range; ≥80 logits clip
         # equal → uniform instead of near-one-hot attention). CLIP towers'
@@ -429,10 +446,17 @@ def attention(
         # should disable via set_kernel_flags(small_attention=False).
         from clip_lora_match_tpu.ops.attention_small import attention_small
 
-        out = attention_small(
-            qh, kh, vh, mask=mask, scale=hd ** -0.5,
-            interpret=_KERNEL_FLAGS["interpret"],
-        )
+        if causal:
+            # structural mode: mask rebuilt in-kernel (zero mask bandwidth)
+            out = attention_small(
+                qh, kh, vh, scale=hd ** -0.5, causal=True,
+                lengths=key_lengths, interpret=_KERNEL_FLAGS["interpret"],
+            )
+        else:
+            out = attention_small(
+                qh, kh, vh, mask=mask, scale=hd ** -0.5,
+                interpret=_KERNEL_FLAGS["interpret"],
+            )
     elif _use_flash(S):
         from clip_lora_match_tpu.ops.flash_attention import flash_attention
 
@@ -527,6 +551,8 @@ def transformer_block(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     core_attn_fn=None,
+    causal: bool = False,
+    key_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pre-LN residual block (CLIP layout: LN → attn → +res; LN → MLP → +res)."""
     x = x + attention(
@@ -540,6 +566,8 @@ def transformer_block(
         lora_dropout=lora_dropout,
         dropout_rng=dropout_rng,
         core_attn_fn=core_attn_fn,
+        causal=causal,
+        key_lengths=key_lengths,
     )
     x = x + mlp(
         p["mlp"],
@@ -567,6 +595,8 @@ def transformer(
     dropout_rng: Optional[jax.Array] = None,
     unroll: int | bool = 1,
     core_attn_fn=None,
+    causal: bool = False,
+    key_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run a stacked transformer (leading layer axis on every leaf) via scan.
 
@@ -594,6 +624,8 @@ def transformer(
             lora_dropout=lora_dropout,
             dropout_rng=rng,
             core_attn_fn=core_attn_fn,
+            causal=causal,
+            key_lengths=key_lengths,
         )
         return out, None
 

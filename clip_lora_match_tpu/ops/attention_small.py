@@ -75,6 +75,50 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads, head_dim, scale, s_v
         o_ref[:, :, sl] = oh.astype(o_ref.dtype)
 
 
+def _kernel_inkmask(
+    q_ref, k_ref, v_ref, len_ref, o_ref, *, heads, head_dim, scale, s_valid,
+    causal,
+):
+    """Mask computed IN-KERNEL from iota (r4, the S=77 text-tower path).
+
+    The text tower's mask is structurally causal + per-row key lengths; the
+    generic path streams it as a per-batch (bb, 1, S, S) fp32 block — at
+    S=77/B=96 that is 2.3 MB of VMEM + HBM traffic per slab for information
+    a (bb,) length vector carries. Here the additive penalty is rebuilt from
+    ``broadcasted_iota`` against ``len_ref`` (a tiny (bb, 128) i32 block) —
+    zero mask bandwidth. Softmax is the same max-free form as _kernel."""
+    S = q_ref.shape[1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, S), 2)
+    if len_ref is not None:
+        lens = len_ref[:, :1]  # (bb, 1)
+        key_ok = kcol < lens[:, :, None]
+    else:
+        key_ok = kcol < s_valid
+    if causal:
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (1, S, S), 1)
+        key_ok = jnp.logical_and(key_ok, kcol <= qrow)
+    pen = jnp.where(key_ok, 0.0, NEG_INF)
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[:, :, sl]
+        kh = k_ref[:, :, sl]
+        vh = v_ref[:, :, sl]
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * scale + pen
+        e = jnp.exp(jnp.minimum(scores, 80.0))
+        oh = jax.lax.dot_general(
+            e.astype(vh.dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        oh = oh / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        o_ref[:, :, sl] = oh.astype(o_ref.dtype)
+
+
 def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, s_valid):
     """Head-PAIR packed variant: two adjacent heads per MXU dot.
 
@@ -138,12 +182,19 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _attention_small_impl(
-    q, k, v, mask, scale: float, block_b: int, interpret: bool
+    q, k, v, mask, scale: float, block_b: int, interpret: bool,
+    causal: bool = False, lengths=None,
 ):
     B, S, H, hd = q.shape
+    inkmask = causal or lengths is not None
+    if inkmask and mask is not None:
+        raise ValueError(
+            "attention_small: pass EITHER an additive mask OR the structural "
+            "causal/lengths mode, not both"
+        )
     # head-pair packed kernel (see _kernel_packed): maskless, even heads,
     # hd=64, and S padded to 64 so the packed score windows stay lane-aligned
-    packed = mask is None and H % 2 == 0 and hd == 64
+    packed = mask is None and not inkmask and H % 2 == 0 and hd == 64
     # pad S to the dtype's native sublane tile (16 for bf16, 8 for fp32):
     # tight padding matters — 77→80 rows halves the kernel vs 77→128
     # (0.11 vs 0.22 ms/layer measured at CLIP text geometry on v5e)
@@ -158,6 +209,9 @@ def _attention_small_impl(
     # score/exp/prob transients are not (empirically calibrated against
     # Mosaic's scoped-vmem accounting on v5e)
     per_b = 2 * 4 * sp * H * hd * q.dtype.itemsize + 3 * sp * sp * 4
+    if inkmask:
+        # in-kernel penalty + key_ok transients
+        per_b += 2 * sp * sp * 4
     if packed:
         # packed transients: (sp, 2sp) scores/exp + two (2sp, 128) block-diag
         # operands per live pair
@@ -185,12 +239,13 @@ def _attention_small_impl(
         # (see _kernel docstring): interpret mode runs in every kernel test,
         # so a workload whose logits approach the clip fails loudly there
         # instead of silently flattening attention on device
+        full_mask = _struct_mask(mask, causal, lengths, S)
         smax = jnp.max(
             jnp.einsum(
                 "bqhd,bkhd->bhqk", q * scale, k,
                 preferred_element_type=jnp.float32,
             )
-            + (mask.astype(jnp.float32) if mask is not None else 0.0)
+            + (full_mask.astype(jnp.float32) if full_mask is not None else 0.0)
         )
 
         def _check_bound(m):
@@ -212,6 +267,18 @@ def _attention_small_impl(
         pl.BlockSpec((bb, sp, H * hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [qp, kp, vp]
+    if inkmask:
+        if lengths is None:
+            # causal-only: every key column up to s_valid is live
+            lengths = jnp.full((B,), S, jnp.int32)
+        lens = jnp.broadcast_to(
+            lengths.astype(jnp.int32)[:, None], (B, 128)
+        )
+        lens = jnp.pad(lens, [(0, bp - B), (0, 0)])
+        in_specs.append(
+            pl.BlockSpec((bb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(lens)
     if mask is not None:
         nb = 1 if shared_mask else B
         mb = jnp.broadcast_to(mask, (nb, 1, S, S)).astype(jnp.float32)
@@ -239,6 +306,11 @@ def _attention_small_impl(
         kernel = functools.partial(
             _kernel_packed, heads=H, head_dim=hd, scale=scale, s_valid=S,
         )
+    elif inkmask:
+        kernel = functools.partial(
+            _kernel_inkmask, heads=H, head_dim=hd, scale=scale, s_valid=S,
+            causal=causal,
+        )
     else:
         kernel = functools.partial(
             _kernel if mask is not None else _kernel_nomask_adapter,
@@ -262,9 +334,26 @@ def _kernel_nomask_adapter(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale
             scale=scale, s_valid=s_valid)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_small(q, k, v, mask, scale, block_b, interpret):
-    return _attention_small_impl(q, k, v, mask, scale, block_b, interpret)
+def _struct_mask(mask, causal: bool, lengths, S: int):
+    """Additive (B|1, 1, S, S) mask equivalent to the in-kernel structural
+    mode — shared by the bwd reference and the interpret-mode logit check."""
+    out = mask
+    if causal:
+        c = jnp.triu(jnp.full((S, S), NEG_INF, jnp.float32), k=1)[None, None]
+        out = c if out is None else out + c
+    if lengths is not None:
+        kcol = jnp.arange(S)[None, None, None, :]
+        pad = jnp.where(kcol < lengths[:, None, None, None], 0.0, NEG_INF)
+        out = pad if out is None else out + pad
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_small(q, k, v, mask, lengths, scale, block_b, interpret, causal):
+    return _attention_small_impl(
+        q, k, v, mask, scale, block_b, interpret, causal=causal,
+        lengths=lengths,
+    )
 
 
 def _reference(q, k, v, mask, scale):
@@ -279,24 +368,27 @@ def _reference(q, k, v, mask, scale):
     ).astype(q.dtype)
 
 
-def _fwd(q, k, v, mask, scale, block_b, interpret):
-    return _attention_small_impl(q, k, v, mask, scale, block_b, interpret), (
-        q, k, v, mask,
+def _fwd(q, k, v, mask, lengths, scale, block_b, interpret, causal):
+    out = _attention_small_impl(
+        q, k, v, mask, scale, block_b, interpret, causal=causal,
+        lengths=lengths,
     )
+    return out, (q, k, v, mask, lengths)
 
 
-def _bwd(scale, block_b, interpret, res, g):
-    q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, mask, scale), q, k, v)
+def _bwd(scale, block_b, interpret, causal, res, g):
+    q, k, v, mask, lengths = res
+    full = _struct_mask(mask, causal, lengths, q.shape[1])
+    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, full, scale), q, k, v)
     dq, dk, dv = vjp(g.astype(q.dtype))
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _attention_small.defvjp(_fwd, _bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_b", "interpret")
+    jax.jit, static_argnames=("scale", "block_b", "interpret", "causal")
 )
 def attention_small(
     q: jnp.ndarray,
@@ -306,16 +398,25 @@ def attention_small(
     scale: Optional[float] = None,
     block_b: int = 16,
     interpret: bool = False,
+    causal: bool = False,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q, k, v: (B, S, H, hd) — the projection layout, untransposed.
     mask: optional additive bias broadcastable to (B, 1, S, S).
+    ``causal`` / ``lengths`` (B,): STRUCTURAL mask mode — the causal +
+    per-row-key-length penalty is rebuilt in-kernel from iota instead of
+    streaming a (B, 1, S, S) fp32 mask (the text tower's case: at S=77/B=96
+    that saves ~2.3 MB VMEM + HBM per slab). Mutually exclusive with
+    ``mask``.
     Returns (B, S, H, hd) context, differentiable. Softmax is the max-free
     fast form (see _kernel): identical to exact softmax for row logits in
     (-87, 80); fully-masked rows return zeros rather than NaN.
     Intended for S ≤ ~128 where the whole sequence fits one VMEM block."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    return _attention_small(q, k, v, mask, float(scale), block_b, interpret)
+    return _attention_small(
+        q, k, v, mask, lengths, float(scale), block_b, interpret, causal
+    )
 
 
 def attention_small_reference(q, k, v, mask=None, scale=None):

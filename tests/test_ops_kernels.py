@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from clip_lora_match_tpu.ops.flash_attention import attention_reference, flash_attention
@@ -304,3 +305,131 @@ def test_attention_dispatches_small_kernel():
     finally:
         layers.set_kernel_flags(**prev)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("S", [50, 64, 77])
+def test_attention_small_structural_mask_matches_additive(S):
+    """causal+lengths structural mode (in-kernel iota mask, r4) must equal
+    the same kernel fed the equivalent additive causal+pad mask, and the
+    jnp oracle."""
+    from clip_lora_match_tpu.ops.attention_small import (
+        attention_small,
+        attention_small_reference,
+    )
+
+    B, H, hd = 5, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, S, H, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, H, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, H, hd), jnp.float32)
+    lengths = jnp.asarray([S, S - 1, 3, S // 2, 1], jnp.int32)
+
+    neg = jnp.finfo(jnp.float32).min
+    causal = jnp.triu(jnp.full((S, S), neg, jnp.float32), k=1)[None, None]
+    kcol = jnp.arange(S)[None, None, None, :]
+    pad = jnp.where(kcol < lengths[:, None, None, None], 0.0, neg)
+    mask = causal + pad
+
+    ref = attention_small_reference(q, k, v, mask)
+    got = attention_small(
+        q, k, v, causal=True, lengths=lengths, block_b=4, interpret=True
+    )
+    additive = attention_small(q, k, v, mask, block_b=4, interpret=True)
+    # rows past a query's own length attend to garbage in BOTH modes; only
+    # compare rows the pooling can ever read (within-length queries)
+    valid_q = jnp.arange(S)[None, :] < lengths[:, None]
+    m = np.asarray(valid_q)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(ref) * m, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(additive) * m, atol=2e-5
+    )
+
+
+def test_attention_small_structural_grads_match_oracle():
+    from clip_lora_match_tpu.ops.attention_small import (
+        attention_small,
+        attention_small_reference,
+    )
+
+    B, S, H, hd = 3, 13, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, S, H, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, H, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, H, hd), jnp.float32)
+    lengths = jnp.asarray([S, 5, 9], jnp.int32)
+    neg = jnp.finfo(jnp.float32).min
+    causal = jnp.triu(jnp.full((S, S), neg, jnp.float32), k=1)[None, None]
+    kcol = jnp.arange(S)[None, None, None, :]
+    mask = causal + jnp.where(kcol < lengths[:, None, None, None], 0.0, neg)
+    valid_q = (jnp.arange(S)[None, :] < lengths[:, None]).astype(jnp.float32)
+    w = valid_q[:, :, None, None]
+
+    def loss_kernel(q, k, v):
+        out = attention_small(
+            q, k, v, causal=True, lengths=lengths, interpret=True
+        )
+        return jnp.sum(jnp.sin(out) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention_small_reference(q, k, v, mask)) * w)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for u, v_ in zip(g1, g2):
+        np.testing.assert_allclose(u, v_, atol=1e-5)
+
+
+def test_attention_small_rejects_mask_plus_structural():
+    from clip_lora_match_tpu.ops.attention_small import attention_small
+
+    q = jnp.zeros((1, 4, 1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="EITHER"):
+        attention_small(
+            q, q, q, mask=jnp.zeros((1, 1, 4, 4)), causal=True,
+            interpret=True,
+        )
+
+
+def test_text_tower_structural_dispatch_matches_xla():
+    """encode_text_features with small_attention on (S=77, ragged pad masks)
+    must equal the XLA path — the in-kernel causal+lengths mode end to end,
+    EOT pooling included."""
+    from clip_lora_match_tpu.core.config import ClipArchConfig
+    from clip_lora_match_tpu.models import clip as clip_model
+    from clip_lora_match_tpu.nn.layers import set_kernel_flags
+
+    arch = ClipArchConfig(
+        image_size=32, patch_size=16, vision_width=64, vision_layers=1,
+        vision_heads=4, vision_mlp_dim=128, vocab_size=600,
+        max_text_length=77, text_width=64, text_layers=2, text_heads=4,
+        text_mlp_dim=128, projection_dim=16,
+    )
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.default_rng(0)
+    B = 4
+    lengths = [77, 20, 5, 50]
+    ids = np.full((B, 77), 599, np.int32)
+    mask = np.zeros((B, 77), np.int32)
+    for i, L in enumerate(lengths):
+        ids[i, : L - 1] = rng.integers(0, 598, L - 1)
+        ids[i, L - 1] = 599
+        mask[i, :L] = 1
+    ref = np.asarray(
+        clip_model.encode_text_features(
+            params, jnp.asarray(ids), arch,
+            attention_mask=jnp.asarray(mask), eot_id=599,
+        )
+    )
+    prev = set_kernel_flags(small_attention=True, interpret=True)
+    try:
+        got = np.asarray(
+            clip_model.encode_text_features(
+                params, jnp.asarray(ids), arch,
+                attention_mask=jnp.asarray(mask), eot_id=599,
+            )
+        )
+    finally:
+        set_kernel_flags(**prev)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
