@@ -6,6 +6,7 @@ state_dict with models/convert_hf.py, and require the JAX towers to reproduce
 the torch activations. This is the exact gate real pretrained weights would
 pass through (BASELINE.json: cosine ≥ 0.999)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
