@@ -46,6 +46,7 @@ _KERNEL_FLAGS = {
     "small_attention": False,
     "fused_mlp": False,
     "fused_lora_dropout": False,
+    "fast_ln": False,
     "interpret": False,
 }
 
@@ -78,6 +79,7 @@ def set_kernel_flags(
     small_attention: bool | None = None,
     fused_mlp: bool | None = None,
     fused_lora_dropout: bool | None = None,
+    fast_ln: bool | None = None,
     interpret: bool | None = None,
 ) -> dict:
     """Toggle Pallas kernel dispatch; returns the previous flags."""
@@ -92,6 +94,8 @@ def set_kernel_flags(
         _KERNEL_FLAGS["fused_mlp"] = fused_mlp
     if fused_lora_dropout is not None:
         _KERNEL_FLAGS["fused_lora_dropout"] = fused_lora_dropout
+    if fast_ln is not None:
+        _KERNEL_FLAGS["fast_ln"] = fast_ln
     if interpret is not None:
         _KERNEL_FLAGS["interpret"] = interpret
     return prev
@@ -116,14 +120,63 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm in fp32 for stability, cast back to input dtype."""
+    """LayerNorm in fp32 for stability, cast back to input dtype.
+
+    With ``set_kernel_flags(fast_ln=True)`` (training fast path, r4) the
+    same math runs under a custom_vjp whose only saved residual is the
+    INPUT (bf16 in the production towers) — plain AD of the fp32-cast form
+    saves fp32 intermediates ((B,S,D) per LN per layer) that the backward
+    then re-reads. μ/σ/x̂ are recomputed in the bwd from x; since the fp32
+    cast of a bf16 x is exact, the gradients are bit-identical to AD's."""
+    if _KERNEL_FLAGS["fast_ln"]:
+        return _ln_fast(x, p["scale"], p["bias"], eps)
+    return _ln_plain(x, p["scale"], p["bias"], eps)
+
+
+def _ln_plain(x, scale, bias, eps):
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     y = (x32 - mu) * lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_fast(x, scale, bias, eps):
+    return _ln_plain(x, scale, bias, eps)
+
+
+def _ln_fast_fwd(x, scale, bias, eps):
+    return _ln_plain(x, scale, bias, eps), (x, scale)
+
+
+def _ln_fast_bwd(eps, res, dy):
+    x, scale = res
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    rstd = lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * rstd
+    dy32 = dy.astype(jnp.float32)
+    g = dy32 * scale.astype(jnp.float32)
+    dx = rstd * (
+        g
+        - jnp.mean(g, axis=-1, keepdims=True)
+        - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True)
+    )
+    red = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(dy32 * xhat, axis=red)
+    dbias = jnp.sum(dy32, axis=red)
+    return (
+        dx.astype(x.dtype),
+        dscale.astype(scale.dtype),
+        dbias.astype(scale.dtype),
+    )
+
+
+_ln_fast.defvjp(_ln_fast_fwd, _ln_fast_bwd)
 
 
 def linear(

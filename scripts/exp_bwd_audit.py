@@ -71,18 +71,21 @@ def main():
     tx, _ = make_optimizer(tcfg, 100)
 
     variants = []
-    for name, flag in (("per-proj (baseline)", False), ("fused shared-mask", True)):
-        prev = set_kernel_flags(fused_lora_dropout=flag)
+    for name, flags in (
+        ("baseline", {}),
+        ("fused-lora", {"fused_lora_dropout": True}),
+        ("fast-ln", {"fast_ln": True}),
+        ("both", {"fused_lora_dropout": True, "fast_ln": True}),
+    ):
         step = make_chained_train_step(
             params, arch, lora_cfg, tcfg, tx, chain=K,
             eot_id=arch.vocab_size - 1, compute_dtype=jnp.bfloat16,
         )
-        set_kernel_flags(**{k: v for k, v in prev.items()})
         state = init_train_state(
             init_lora(jax.random.PRNGKey(1), arch, lora_cfg), tx,
             rng_impl="rbg",
         )
-        variants.append((name, flag, step, state))
+        variants.append((name, flags, step, state))
 
     def sync(s):
         jax.tree_util.tree_leaves(s)[0].block_until_ready()
@@ -91,17 +94,17 @@ def main():
 
     print("warming...", file=sys.stderr)
     warmed = []
-    for name, flag, step, state in variants:
-        prev = set_kernel_flags(fused_lora_dropout=flag)
+    for name, flags, step, state in variants:
+        prev = set_kernel_flags(**flags) if flags else None
         s2, m = step(state, batches)
-        set_kernel_flags(**prev)
+        if prev is not None:
+            set_kernel_flags(**prev)
         sync(s2)
-        warmed.append((name, flag, step, state))
+        warmed.append((name, flags, step, state))
 
     results = {name: [] for name, *_ in warmed}
     for t in range(args.trials):
-        for name, flag, step, state in warmed:
-            prev = set_kernel_flags(fused_lora_dropout=flag)
+        for name, flags, step, state in warmed:
             s = state
             sync(s)
             t0 = time.perf_counter()
@@ -109,7 +112,6 @@ def main():
                 s, m = step(s, batches)
             sync(s)
             dt = (time.perf_counter() - t0) / (args.iters * K)
-            set_kernel_flags(**prev)
             results[name].append(dt * 1e3)
             print(
                 f"trial {t} {name}: {dt*1e3:.2f} ms/step "

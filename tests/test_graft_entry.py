@@ -15,6 +15,7 @@ import pytest
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_dryrun_multichip_from_unprepared_interpreter(repo_root):
     """Simulates the driver: 1-device parent, no multi-device env vars."""
     env = dict(os.environ)
@@ -48,6 +49,7 @@ def test_dryrun_multichip_from_unprepared_interpreter(repo_root):
     assert "dryrun_multichip ok: 8 devices" in res.stdout, res.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inline_on_prepared_mesh():
     """With 8 virtual devices already present (conftest), runs in-process."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

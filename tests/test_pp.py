@@ -129,6 +129,7 @@ def test_pipeline_grads_match_scan():
         )
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_single_device():
     """Full dp2×pp4 training (2 steps, real placement helpers + sharded
     optimizer state) reproduces the single-device loss trajectory."""
@@ -217,6 +218,7 @@ def test_pp_sp_3d_transformer_matches_scan(S):
     )
 
 
+@pytest.mark.slow
 def test_pp_sp_3d_train_step_matches_single_device():
     """Full dp2×pp2×sp2 training (2 steps, both towers as pipelined ring
     programs; the vision tower's S=5 pads to 6) reproduces the

@@ -67,6 +67,7 @@ def _recall1(params, lora, batch):
     return diagonal_metrics(np.asarray(img), np.asarray(txt), ks=(1,))["recall@1"]
 
 
+@pytest.mark.slow
 def test_lora_training_lifts_recall():
     params = jclip.init_params(jax.random.PRNGKey(0), ARCH)
     lora = init_lora(jax.random.PRNGKey(1), ARCH, LORA)

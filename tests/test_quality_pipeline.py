@@ -16,6 +16,8 @@ from clip_lora_match_tpu.core.config import (
     TrainingConfig,
 )
 
+
+@pytest.mark.slow
 @pytest.mark.slow
 def test_generate_train_compare_pipeline(tmp_path, repo_root):
     out = tmp_path / "corpus"

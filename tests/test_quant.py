@@ -74,6 +74,7 @@ def test_linear_dispatches_on_kernel_q_and_lora_stays_exact():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tower", ["image", "text"])
 def test_quantized_towers_cosine(tower):
     arch = ClipArchConfig(
@@ -101,6 +102,7 @@ def test_quantized_towers_cosine(tower):
     assert cos.min() > 0.995, cos
 
 
+@pytest.mark.slow
 def test_encoder_int8_mode_end_to_end_and_ranking():
     """ClipEncoder(quantize="int8"): embeddings near-parity with the float
     encoder, and retrieval rankings over a small index are preserved."""
@@ -131,6 +133,7 @@ def test_encoder_int8_mode_end_to_end_and_ranking():
     assert (sims_f.argmax(1) == sims_q.argmax(1)).all()
 
 
+@pytest.mark.slow
 def test_encoder_int8_with_lora_adapter():
     """int8 base + float LoRA compose at the encoder level: attaching an
     adapter changes embeddings, and the int8 delta tracks the float delta

@@ -27,6 +27,7 @@ def _run(args, timeout=240):
     )
 
 
+@pytest.mark.slow
 def test_build_and_search_cli(tmp_path):
     out = str(tmp_path / "idx.npz")
     r = _run(["scripts/build_custom_index.py", "--csv", "data/custom/my_items.csv",
@@ -45,6 +46,7 @@ def test_verify_data_structure_cli():
     assert "ALL OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_yolo_train_eval_cli(tmp_path):
     """Detector pipeline end-to-end at smoke scale: generate GT corpus →
     train a few steps → evaluate against GT (metrics parse, no asserted
@@ -78,6 +80,7 @@ def test_eval_similarity_cli(tmp_path):
     assert "queries/sec" in r.stdout
 
 
+@pytest.mark.slow
 def test_train_lora_cli_chain_steps(tmp_path):
     """--chain-steps plumbs TrainingConfig.chain_steps through the CLI; the
     tiny-arch run must complete with a finite loss (trajectory equality to

@@ -206,6 +206,7 @@ def test_sp_transformer_rejects_underspecified_masks():
             sp(blocks, x, 4, mask=jnp.zeros((8, 1, 4, 16)))
 
 
+@pytest.mark.slow
 def test_sp_encode_image_matches_plain():
     """Full image tower at CLIP-style indivisible S (here (32/16)²+1 = 5,
     padded to 8 on a 4-way axis): cls pooling sees identical features."""
@@ -225,6 +226,7 @@ def test_sp_encode_image_matches_plain():
     )
 
 
+@pytest.mark.slow
 def test_sp_grads_match_scan():
     """AD through the KV ring derives the backward ring: LoRA grads equal
     the single-device grads (catches a wrong collective transpose)."""
@@ -257,6 +259,7 @@ def test_sp_grads_match_scan():
         )
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_single_device():
     """Full dp2×sp4 training (2 steps, replicated params + sharded batch,
     both towers on padded sequence shards) reproduces the single-device
@@ -321,6 +324,7 @@ def test_sp_mesh_rejects_device_shortfall():
         make_sp_mesh(n_seq=16)
 
 
+@pytest.mark.slow
 def test_dp_tp_sp_train_step_matches_single_device():
     """4-axis composition (VERDICT r3 #9): dp2×tp2×sp2 on 8 devices — the
     SP shard_map runs manual over (data, seq) while Megatron TP shardings

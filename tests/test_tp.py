@@ -151,6 +151,7 @@ def test_tp_forward_matches_replicated():
         )
 
 
+@pytest.mark.slow
 def test_tp_train_step_matches_single_device():
     params, _, _ = _params_and_lora(randomize_b=False)
     lora_cfg = LoraConfig(r=4, alpha=8, dropout=0.0)

@@ -308,6 +308,7 @@ def test_train_e2e_and_resume(csv_dataset, tmp_path):
     assert res2.steps == 0 and res2.epochs == 0  # nothing left to do
 
 
+@pytest.mark.slow
 def test_train_chained_matches_unchained(csv_dataset, tmp_path):
     """chain_steps=2 (K optimizer steps per dispatch incl. a ragged tail)
     must reproduce the unchained run's loss trajectory and final adapter —
@@ -452,6 +453,7 @@ def test_checkpoint_resume_across_rng_impl_change(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_train_text_seq_slice_equivalence(csv_dataset, tmp_path):
     """text_seq_slice=64 drops trailing all-pad text columns before dispatch
     (trainer.slice_batch). With LoRA dropout off the math is exact (causal

@@ -108,6 +108,7 @@ def test_dfl_decode_math():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_yolov8_forward_shapes():
     params = yolov8.init_params(jax.random.PRNGKey(0))
     x = jnp.zeros((1, 320, 320, 3), jnp.float32)
