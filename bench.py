@@ -299,6 +299,14 @@ def main():
         except Exception as e:
             print(f"[bench] b16 extra failed: {e}", file=sys.stderr)
 
+    # --- ViT-L/14 tower (largest family; full-width parity is a slow test) ---
+    l14 = {}
+    if on_tpu and os.environ.get("CLM_BENCH_SKIP_L14") != "1":
+        try:
+            l14 = _l14_extra(rng)
+        except Exception as e:
+            print(f"[bench] l14 extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -320,6 +328,7 @@ def main():
                     **yolo,
                     **two_stage,
                     **b16,
+                    **l14,
                 },
             }
         ),
@@ -362,10 +371,13 @@ def _big_topk_extras() -> dict:
     # N=8M bf16: an 8 GB index — HALF the chip's HBM — searched exactly.
     # RNG can't emit it in one shot (the fp32 generation transient alone is
     # 16 GB), so the index is assembled into a donated buffer chunk-by-chunk
-    # (the same donation trick as index/store.py's arena). ~55% of the
-    # 9.8 ms bandwidth floor (8 GB @ 819 GB/s); exactness at this scale is
-    # pinned by a half-merge identity in tests/test_ops_retrieval.py-style
-    # experiment (see docs/DESIGN.md §7.5).
+    # (the same donation trick as index/store.py's arena). Q=2048 is the
+    # measured operating point (r3 used Q=256, which can't amortize pass 2:
+    # +43% at 1024, +6% more at 2048 — r4 sweep, scripts/exp_topk_8m.py);
+    # the hierarchical pass 2 auto-fires here (group=16 supertile max →
+    # approx_max_k over the 16×-smaller array: 72.7→67.7 ms same-process
+    # A/B at Q=1024; group 32/64 measured worse). Exactness at this scale
+    # is pinned by a half-merge identity (see docs/DESIGN.md §7.5).
     try:
         import functools
 
@@ -381,12 +393,12 @@ def _big_topk_extras() -> dict:
                 jax.random.normal(jax.random.PRNGKey(c), (ch, 512), jnp.bfloat16),
                 c * ch,
             )
-        qs256 = qs[:256]
+        qs2k = jax.random.normal(jax.random.PRNGKey(2), (2048, 512), jnp.float32)
         t = _bench(
             lambda a, b: topk_retrieve_twopass(a, b, 10),
-            qs256, index, iters=4, label="topk_8m_bfloat16",
+            qs2k, index, iters=4, label="topk_8m_bfloat16",
         )
-        out["topk_8m_bf16_qps"] = round(256 / t, 1)
+        out["topk_8m_bf16_qps"] = round(2048 / t, 1)
         del index
     except Exception as e:  # noqa: BLE001 — 8 GB alloc can lose to fragmentation
         print(f"[bench] topk_8m extra skipped: {e}", file=sys.stderr)
@@ -431,6 +443,35 @@ def _b16_extra(rng) -> dict:
 
     t = _bench(embed, params, pix, iters=8, label="vit_b16_image_embed")
     return {"vit_b16_images_per_sec": round(B / t, 1), "vit_b16_batch": B}
+
+
+def _l14_extra(rng) -> dict:
+    """ViT-L/14 image tower (S=257, width 1024, 24 layers — ~19x the B/32
+    FLOPs/img): the largest family the reference's config-driven loader
+    accepts (ref:models/clip_model.py:44-56). Full-width parity vs torch is
+    pinned by tests/test_clip_parity.py::test_full_vit_l14_parity; this is
+    its serving number. B swept on v5e — see the batch key."""
+    from clip_lora_match_tpu.core.config import VIT_L14
+    from clip_lora_match_tpu.models import clip as clip_model
+
+    arch = VIT_L14
+    params = clip_model.init_params(jax.random.PRNGKey(0), arch)
+    B = 16
+    pix = jnp.asarray(
+        rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(
+            np.float32
+        )
+    )
+
+    @jax.jit
+    def embed(params, pix):
+        feats = clip_model.encode_image_features(
+            params, pix, arch, compute_dtype=jnp.bfloat16, unroll=True
+        )
+        return clip_model.l2_normalize(feats)
+
+    t = _bench(embed, params, pix, iters=6, label="vit_l14_image_embed")
+    return {"vit_l14_images_per_sec": round(B / t, 1), "vit_l14_batch": B}
 
 
 def _jpeg_to_embedding_extra(params, arch) -> dict:

@@ -209,6 +209,14 @@ def topk_retrieve_reference(
 #           top-k over the (Q, k·T) candidates.
 
 
+# hierarchical pass-2 defaults: at N=1M (nt≈65k) the flat approx_max_k costs
+# ~2-3 ms at Q=1024 and the extra reduce+gather round-trips don't pay; the
+# 22 ms blowup is an HBM-scale (nt≈500k, N=8M) phenomenon. Auto-enable only
+# past 2^17 tile-max columns; re-measure with scripts/exp_topk_8m.py.
+HIER_GROUP = 16
+HIER_MIN_TILES = 131_072
+
+
 def topk_retrieve_twopass(
     queries: jnp.ndarray,
     index: jnp.ndarray,
@@ -219,6 +227,7 @@ def topk_retrieve_twopass(
     max_pad: Optional[int] = None,
     pallas_pass1: Optional[bool] = None,
     interpret: bool = False,
+    group: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact fused top-k for HBM-scale indexes (same contract as
     ``topk_retrieve``; validated against the oracle in tests).
@@ -237,6 +246,23 @@ def topk_retrieve_twopass(
     OVER-ranked in pass 2. Selecting that many extra tiles guarantees the
     true top-k tiles are still included; pass 3 masks pad candidates on the
     tiny (Q, k_sel·tile) tensor where fusion doesn't matter.
+
+    ``group``: hierarchical pass-2 width (Pallas path only). At HBM scale the
+    tile-max array itself is wide enough that ``approx_max_k`` over it
+    dominates (measured 22 ms over 500k columns at Q=1024, N=8M — 9× its
+    2.4 ms read floor). With ``group=g`` pass 2 first max-reduces g adjacent
+    tile-maxes into one supertile max (bandwidth-bound), approx_max_k's the
+    g×-smaller supertile array, then resolves tiles inside the selected
+    supertiles with tiny gathers. Exactness is the pass-2 argument one level
+    up: at most k valid rows score ≥ the kth value, so at most k supertiles
+    (+ the same contiguous-pad slack, which only shrinks at coarser
+    granularity) can have max ≥ it — the top-k_sel supertiles therefore
+    contain every tile whose max ≥ the kth value, and of the gathered
+    k_sel·g tiles at most k_sel qualify, so the top-k_sel of them by
+    tile-max is a superset of the qualifying set. ``None`` = auto (16 when
+    the main tile-max array has ≥ HIER_MIN_TILES columns), ``0``/``1`` =
+    disable, explicit g = force (must divide 128 so it divides the kernel's
+    128-aligned main width).
 
     Returns (scores (Q, k) fp32, indices (Q, k) int32), sorted descending.
     """
@@ -283,11 +309,23 @@ def topk_retrieve_twopass(
             and tile % 8 == 0
             and tile <= 16
         )
+    if group is None:
+        # main part width the Pallas pass 1 will produce (bn-aligned prefix)
+        bn = 128 * tile
+        nt_main = ((N // bn) * bn) // tile
+        group = (
+            HIER_GROUP
+            if pallas_pass1 and nt_main >= HIER_MIN_TILES
+            else 0
+        )
+    elif group > 1 and 128 % group != 0:
+        raise ValueError(f"group={group} must divide 128")
     return _topk_twopass_impl(
         queries, index,
         jnp.asarray(N if nv is None else nv, jnp.int32),
         k=k, k_sel=k_sel, tile=tile, pad_value=pad_value,
         pallas_pass1=bool(pallas_pass1), interpret=interpret,
+        group=int(group),
     )
 
 
@@ -384,7 +422,9 @@ def _tilemax_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "k_sel", "tile", "pad_value", "pallas_pass1", "interpret"),
+    static_argnames=(
+        "k", "k_sel", "tile", "pad_value", "pallas_pass1", "interpret", "group"
+    ),
 )
 def _topk_twopass_impl(
     queries: jnp.ndarray,
@@ -396,6 +436,7 @@ def _topk_twopass_impl(
     pad_value: float,
     pallas_pass1: bool = False,
     interpret: bool = False,
+    group: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     Q, D = queries.shape
     N = index.shape[0]
@@ -418,10 +459,31 @@ def _topk_twopass_impl(
         # candidate tensors, take the global top-k_sel there.
         parts_v, parts_i = [], []
         if main is not None:
-            km = min(k_sel, main.shape[1])
-            mv, mi = jax.lax.approx_max_k(main, km, recall_target=1.0)
+            nt_main = main.shape[1]
+            km = min(k_sel, nt_main)
+            if (
+                group > 1
+                and nt_main % group == 0
+                and nt_main // group >= km
+            ):
+                # hierarchical pass 2 (exactness: see caller docstring).
+                # supertile max is a cheap bandwidth-bound reduce; the
+                # expensive selector then runs over a group×-smaller array,
+                # and tile resolution touches only km·group values per query.
+                sup = main.reshape(Q, nt_main // group, group).max(axis=2)
+                _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
+                tids = (
+                    sup_ids.astype(jnp.int32)[:, :, None] * group
+                    + jnp.arange(group, dtype=jnp.int32)
+                ).reshape(Q, km * group)
+                tvals = jnp.take_along_axis(main, tids, axis=1)
+                mv, pos = jax.lax.top_k(tvals, km)
+                mi = jnp.take_along_axis(tids, pos, axis=1)
+            else:
+                mv, mi = jax.lax.approx_max_k(main, km, recall_target=1.0)
+                mi = mi.astype(jnp.int32)
             parts_v.append(mv)
-            parts_i.append(mi.astype(jnp.int32))
+            parts_i.append(mi)
         if tail is not None:
             base = 0 if main is None else main.shape[1]
             t_ids = base + jax.lax.broadcasted_iota(

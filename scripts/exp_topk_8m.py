@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--n", type=int, default=8_000_000)
     ap.add_argument("--qs", type=int, nargs="+", default=[256, 512, 1024])
     ap.add_argument("--tiles", type=int, nargs="+", default=[16])
+    ap.add_argument("--groups", type=int, nargs="+", default=[0, 16],
+                    help="hierarchical pass-2 widths (0 = flat approx_max_k)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
@@ -56,37 +58,38 @@ def main():
     def sync(x):
         np.asarray(x[0][:1])  # device→host readback (relay-safe sync)
 
-    combos = [(q, t) for q in args.qs for t in args.tiles]
+    combos = [(q, t, g) for q in args.qs for t in args.tiles for g in args.groups]
     fns = {}
-    for q, t in combos:
-        fns[(q, t)] = lambda a, b, t=t: topk_retrieve_twopass(a, b, 10, tile=t)
-        out = fns[(q, t)](qs_full[:q], index)
+    for q, t, g in combos:
+        fns[(q, t, g)] = lambda a, b, t=t, g=g: topk_retrieve_twopass(
+            a, b, 10, tile=t, group=g)
+        out = fns[(q, t, g)](qs_full[:q], index)
         sync(out)
-        print(f"warmed Q={q} tile={t}", file=sys.stderr)
+        print(f"warmed Q={q} tile={t} group={g}", file=sys.stderr)
 
     results = {c: [] for c in combos}
     for trial in range(args.trials):
-        for q, t in combos:
-            fn = fns[(q, t)]
+        for q, t, g in combos:
+            fn = fns[(q, t, g)]
             sync(fn(qs_full[:q], index))
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 out = fn(qs_full[:q], index)
             sync(out)
             dt = (time.perf_counter() - t0) / args.iters
-            results[(q, t)].append(dt)
+            results[(q, t, g)].append(dt)
             print(
-                f"trial {trial} Q={q} tile={t}: {dt*1e3:.1f} ms "
+                f"trial {trial} Q={q} tile={t} group={g}: {dt*1e3:.1f} ms "
                 f"({q/dt:,.0f} qps)",
                 file=sys.stderr,
             )
 
     print()
-    for (q, t), ds in results.items():
+    for (q, t, g), ds in results.items():
         med = float(np.median(ds))
         flop_ms = q * n * 512 * 2 / 197e12 * 1e3
         print(
-            f"Q={q} tile={t}: {med*1e3:.1f} ms median -> {q/med:,.0f} qps "
+            f"Q={q} tile={t} group={g}: {med*1e3:.1f} ms median -> {q/med:,.0f} qps "
             f"(FLOP floor {flop_ms:.1f} ms, {flop_ms/(med*1e3)*100:.0f}% of peak)"
         )
 

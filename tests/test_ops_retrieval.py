@@ -165,6 +165,43 @@ def test_twopass_fuzz_exactness():
         np.testing.assert_array_equal(np.asarray(i), np.asarray(io), str(cfg))
 
 
+@pytest.mark.parametrize(
+    "N,n_valid,group",
+    [
+        (8192, None, 16),     # bn-aligned, pure hierarchical main
+        (8692, None, 16),     # main + 500-row tail merged with hier main
+        (8192, 8000, 16),     # pad slack propagated to the supertile level
+        (8192, None, 8),      # non-default group width
+    ],
+)
+def test_twopass_hierarchical_pass2_exact(N, n_valid, group):
+    """Forced hierarchical pass 2 (supertile max → approx_max_k → in-group
+    tile resolution) must stay EXACT vs the oracle — incl. tail merge and
+    caller-declared pad rows (the slack argument one level up)."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        topk_retrieve_reference,
+        topk_retrieve_twopass,
+    )
+
+    rng = np.random.default_rng(N)
+    idx = rng.normal(size=(N, 128)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(7, 128)).astype(np.float32)
+    s, i = topk_retrieve_twopass(
+        jnp.asarray(qs), jnp.asarray(idx), 10, tile=16, n_valid=n_valid,
+        pallas_pass1=True, interpret=True, group=group,
+    )
+    ref = idx if n_valid is None else idx[:n_valid]
+    so, io = topk_retrieve_reference(jnp.asarray(qs), jnp.asarray(ref), 10)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+    with pytest.raises(ValueError, match="divide 128"):
+        topk_retrieve_twopass(
+            jnp.asarray(qs), jnp.asarray(idx), 10, tile=16, group=9,
+        )
+
+
 def test_twopass_k_clamp_and_bf16():
     from clip_lora_match_tpu.ops.retrieval_topk import (
         topk_retrieve_reference,
