@@ -37,6 +37,12 @@ def main():
     p.add_argument("--weight-decay", type=float, default=5e-4)
     p.add_argument("--warmup-epochs", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init-weights", default=None,
+                   help="warm-start: graft every same-shaped leaf from this "
+                        ".npz (class-count-dependent head leaves keep fresh "
+                        "init when the class sets differ)")
+    p.add_argument("--tag", default="synth",
+                   help="weight filename suffix: yolov8{width}_{tag}.npz")
     p.add_argument("--width", choices=["n", "s"], default="n",
                    help="width plan: -n (synthetic default) or full -s")
     p.add_argument("--log-every", type=int, default=20)
@@ -68,6 +74,43 @@ def main():
         num_classes=len(classes),
     )
     params = init_detect_biases(params, args.imgsz)
+
+    if args.init_weights:
+        from clip_lora_match_tpu.models.io import load_params
+
+        def _graft(dst, src):
+            # walk containers in lockstep; graft leaves whose shapes match,
+            # keep fresh init otherwise (class-head leaves). Live trees hold
+            # lists; unflatten_params restores them as {"0": ...} dicts, so
+            # a dst list pairs with str(i) keys in a src dict.
+            n = 0
+            if isinstance(dst, dict) and isinstance(src, dict):
+                items = [(k, k) for k in dst if k in src]
+            elif isinstance(dst, list):
+                src_get = (
+                    (lambda i: src.get(str(i))) if isinstance(src, dict)
+                    else (lambda i: src[i] if i < len(src) else None)
+                )
+                items = [
+                    (i, i) for i in range(len(dst)) if src_get(i) is not None
+                ]
+                src = {i: src_get(i) for i, _ in items}
+            else:
+                return 0
+            for dk, sk in items:
+                v = dst[dk]
+                if isinstance(v, (dict, list)):
+                    n += _graft(v, src[sk])
+                elif getattr(src[sk], "shape", None) == getattr(v, "shape", ()):
+                    dst[dk] = jnp.asarray(src[sk], v.dtype)
+                    n += 1
+            return n
+
+        loaded = load_params(args.init_weights)
+        n_graft = _graft(params, loaded)
+        n_total = len(jax.tree_util.tree_leaves(params))
+        print(f"[train_yolo] warm-start from {args.init_weights}: "
+              f"{n_graft}/{n_total} leaves grafted")
 
     steps_per_epoch = len(ds) // args.batch_size
     total = max(2, steps_per_epoch * args.epochs)
@@ -109,7 +152,7 @@ def main():
         lambda x: np.asarray(x, np.float16), jax.device_get(state.params)
     )
     os.makedirs(args.out, exist_ok=True)
-    wpath = os.path.join(args.out, f"yolov8{args.width}_synth.npz")
+    wpath = os.path.join(args.out, f"yolov8{args.width}_{args.tag}.npz")
     save_params(wpath, params_f16)
     with open(os.path.join(args.out, "meta.json"), "w") as f:
         json.dump(
