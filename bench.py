@@ -450,13 +450,15 @@ def _l14_extra(rng) -> dict:
     FLOPs/img): the largest family the reference's config-driven loader
     accepts (ref:models/clip_model.py:44-56). Full-width parity vs torch is
     pinned by tests/test_clip_parity.py::test_full_vit_l14_parity; this is
-    its serving number. B swept on v5e — see the batch key."""
+    its serving number. B swept on v5e (r4): 480/511/561 img/s at
+    B=8/16/32 — still rising at 32, unlike B/32 and B/16 whose smaller
+    activations hit VMEM fusion windows sooner."""
     from clip_lora_match_tpu.core.config import VIT_L14
     from clip_lora_match_tpu.models import clip as clip_model
 
     arch = VIT_L14
     params = clip_model.init_params(jax.random.PRNGKey(0), arch)
-    B = 16
+    B = 32
     pix = jnp.asarray(
         rng.normal(size=(B, arch.image_size, arch.image_size, 3)).astype(
             np.float32
