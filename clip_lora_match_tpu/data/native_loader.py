@@ -66,7 +66,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
         # v3 ABI: trailing int enables DCT-domain scaled decode
         if lib.clm_native_version() < 3:
-            raise RuntimeError("stale libclm_native.so (need ABI v3)")
+            # stale artifact with a NEWER mtime than the source (copied .so,
+            # clock skew): don't give up for the whole process — delete it
+            # and rebuild once (advisor r4)
+            del lib
+            log.warning("stale libclm_native.so (ABI < 3); rebuilding")
+            os.remove(_SO_PATH)
+            if not _build():
+                raise RuntimeError("rebuild after stale ABI failed")
+            lib = ctypes.CDLL(_SO_PATH)
+            if lib.clm_native_version() < 3:
+                raise RuntimeError("rebuilt libclm_native.so still ABI < 3")
         lib.clm_preprocess_batch.restype = ctypes.c_int
         lib.clm_preprocess_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),

@@ -222,12 +222,27 @@ def encode_text_features(
     valid because EOT is the largest id in both the real CLIP vocab and the
     fallback vocab, and padding uses the EOT token itself.
 
+    ``attention_mask`` contract: rows must be SUFFIX-PADDED (a contiguous
+    prefix of ones followed by zeros), matching the wire format the
+    preprocessor emits (pad-to-77 at the end; ref:src/preprocessing/
+    clip_preprocess.py:51-57). The default executor describes the mask
+    structurally to the small-attention kernel as causal + per-row key
+    lengths (``mask.sum(-1)``); a non-prefix mask (zeros mid-sequence) would
+    be honored by the additive-mask dispatch paths but NOT by the structural
+    one — don't pass one.
+
     ``transformer_fn``: alternate stacked-transformer executor (see
     ``encode_image_features``).
     """
     p = params["text"]
     B, S = input_ids.shape
     x = p["token_embedding"][input_ids]
+    if compute_dtype is not None:
+        # run the residual stream in the compute dtype like the vision tower
+        # (whose patch_embed linear already casts): keeps the two towers in
+        # ONE kernel-geometry/dtype class (the r4 TPU crash was fp32-S=77
+        # only) and halves the text tower's HBM residual traffic under bf16
+        x = x.astype(compute_dtype)
     x = x + p["pos_embedding"][:S].astype(x.dtype)
     mask = _text_mask(attention_mask, S, x.dtype)
     extra = {}

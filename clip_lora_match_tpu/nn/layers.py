@@ -128,7 +128,10 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     INPUT (bf16 in the production towers) — plain AD of the fp32-cast form
     saves fp32 intermediates ((B,S,D) per LN per layer) that the backward
     then re-reads. μ/σ/x̂ are recomputed in the bwd from x; since the fp32
-    cast of a bf16 x is exact, the gradients are bit-identical to AD's."""
+    cast of a bf16 x is exact, the gradients are bit-identical to AD's on
+    the bf16 production path (fp32 inputs differ from AD by ~1 ulp — the
+    hand-derived dx associates reductions differently; grad-parity test in
+    tests/test_kernel_integration.py)."""
     if _KERNEL_FLAGS["fast_ln"]:
         return _ln_fast(x, p["scale"], p["bias"], eps)
     return _ln_plain(x, p["scale"], p["bias"], eps)

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clip_lora_match_tpu.ops.geometry import plan_lora_matmul
+
 R_PAD = 128
 
 
@@ -58,7 +60,8 @@ def _lora_matmul_impl(
     M, K = x.shape
     N = w.shape[1]
     r = a.shape[1]
-    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    plan = plan_lora_matmul(M, N, K, block_m, block_n, block_k, R_PAD)
+    bm, bn, bk = plan.bm, plan.bn, plan.bk
 
     def pad_to(v, mult, axis):
         target = -(-v.shape[axis] // mult) * mult

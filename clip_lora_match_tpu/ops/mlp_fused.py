@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clip_lora_match_tpu.ops.geometry import plan_mlp_fused
+
 # Above this many weight bytes (bf16) the resident variant would blow the
 # ~12-13 MB per-step VMEM budget (CLAUDE.md Mosaic notes); stream instead.
 _RESIDENT_MAX_WEIGHT_BYTES = 10 * 1024 * 1024
@@ -79,12 +81,16 @@ def _mlp_fused_impl(x, w1, b1, w2, b2, block_m, block_h, interpret):
     M, K = x.shape
     H = w1.shape[1]
     N = w2.shape[1]
-    bm = min(block_m, -(-M // 8) * 8)
+    weight_bytes = (w1.size + w2.size) * w1.dtype.itemsize
+    plan = plan_mlp_fused(
+        M, K, H, N, block_m, block_h,
+        resident=weight_bytes <= _RESIDENT_MAX_WEIGHT_BYTES,
+    )
+    bm = plan.bm
     x_p = _pad_axis(x, bm, 0)
     Mp = x_p.shape[0]
     b1r = b1.reshape(1, H)
     b2r = b2.reshape(1, N)
-    weight_bytes = (w1.size + w2.size) * w1.dtype.itemsize
     flops = 2 * Mp * H * (K + N)
     if weight_bytes <= _RESIDENT_MAX_WEIGHT_BYTES:
         out = pl.pallas_call(
@@ -110,7 +116,7 @@ def _mlp_fused_impl(x, w1, b1, w2, b2, block_m, block_h, interpret):
             interpret=interpret,
         )(x_p, w1, b1r, w2, b2r)
         return out[:M]
-    bh = min(block_h, H)
+    bh = plan.bh
     w1_p = _pad_axis(w1, bh, 1)
     b1_p = _pad_axis(b1r, bh, 1)
     w2_p = _pad_axis(w2, bh, 0)

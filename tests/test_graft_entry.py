@@ -15,7 +15,6 @@ import pytest
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_dryrun_multichip_from_unprepared_interpreter(repo_root):
     """Simulates the driver: 1-device parent, no multi-device env vars."""
     env = dict(os.environ)

@@ -84,3 +84,39 @@ def test_dropout_path_bypasses_fused_kernel(setup):
         lora_dropout=0.5, dropout_rng=jax.random.PRNGKey(0),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fast_ln_grads_match_ad():
+    """fast_ln (_ln_fast custom_vjp): bwd recomputes μ/σ/x̂ from the saved
+    input instead of saving fp32 intermediates. Grads must be bit-identical
+    to plain AD for bf16 inputs (the production path — the fp32 cast of bf16
+    is exact and both paths see the same x32) and ~1-ulp-close for fp32
+    (advisor r4: the hand-derived dx associates reductions differently)."""
+    import jax.numpy as jnp
+
+    from clip_lora_match_tpu.nn import layers as L
+
+    rng = np.random.default_rng(11)
+    for dtype, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        x = jnp.asarray(rng.normal(size=(4, 9, 64)), dtype)
+        scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 9, 64)).astype(np.float32))
+
+        def loss(fn, x, s, b):
+            return jnp.sum(fn(x, s, b, 1e-5).astype(jnp.float32) * w)
+
+        g_fast = jax.grad(lambda *t: loss(L._ln_fast, *t), argnums=(0, 1, 2))(
+            x, scale, bias
+        )
+        g_ad = jax.grad(lambda *t: loss(L._ln_plain, *t), argnums=(0, 1, 2))(
+            x, scale, bias
+        )
+        for gf, ga, name in zip(g_fast, g_ad, ("dx", "dscale", "dbias")):
+            gf, ga = np.asarray(gf, np.float32), np.asarray(ga, np.float32)
+            if exact:
+                np.testing.assert_array_equal(gf, ga, err_msg=f"{dtype} {name}")
+            else:
+                np.testing.assert_allclose(
+                    gf, ga, atol=1e-5, rtol=1e-6, err_msg=f"{dtype} {name}"
+                )

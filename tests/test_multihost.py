@@ -34,7 +34,6 @@ def _free_port():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_two_process_train_step_matches_single_process(repo_root, tmp_path):
     port = _free_port()
     env = dict(os.environ)

@@ -41,15 +41,17 @@ def test_lora_matmul_grad_matches_oracle():
     import jax
 
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=(24, 64)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
-    a = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(24, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32) * 0.05)
+    a = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32) * 0.05)
     b = jnp.asarray(rng.normal(size=(4, 48)).astype(np.float32) * 0.05)
 
     def loss_fused(x, w, a, b):
+        # multi-block grid (3, 1, 2) with Mosaic-legal geometry: second-minor
+        # blocks 8-divisible, minor blocks 128-divisible or the full dim
         y = lora_matmul(
             x, w, a, b, scaling=2.0,
-            block_m=8, block_n=16, block_k=32, interpret=True,
+            block_m=8, block_n=48, block_k=128, interpret=True,
         )
         return jnp.sum(jnp.sin(y))
 
@@ -71,9 +73,9 @@ def test_lora_matmul_grad_under_jit_with_frozen_w():
     import jax
 
     rng = np.random.default_rng(8)
-    x = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 0.05)
-    a0 = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(16, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32) * 0.05)
+    a0 = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32) * 0.05)
     b0 = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32) * 0.05)
 
     @jax.jit
@@ -81,7 +83,7 @@ def test_lora_matmul_grad_under_jit_with_frozen_w():
         def loss(a, b):
             y = lora_matmul(
                 x, w, a, b, scaling=2.0,
-                block_m=8, block_n=16, block_k=16, interpret=True,
+                block_m=8, block_n=32, block_k=128, interpret=True,
             )
             return jnp.mean(y * y)
 

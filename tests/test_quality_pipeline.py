@@ -18,7 +18,6 @@ from clip_lora_match_tpu.core.config import (
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_generate_train_compare_pipeline(tmp_path, repo_root):
     out = tmp_path / "corpus"
     res = subprocess.run(
