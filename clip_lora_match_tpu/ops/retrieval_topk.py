@@ -348,6 +348,104 @@ def _tilemax_kernel(q_ref, idx_ref, out_ref, *, tile):
 _TILEMAX_VMEM = 12 * 1024 * 1024
 
 
+def _tilemax_sup_kernel(q_ref, idx_ref, out_ref, sup_ref, *, tile, group):
+    """Pass-1 step emitting BOTH tile maxima and group-of-``group`` supertile
+    maxima, TRANSPOSED (tiles on sublanes, queries on lanes).
+
+    Two wins over _tilemax_kernel + a separate XLA supertile reduce (r5,
+    VERDICT r4 next-step #6):
+    - no per-step VMEM transpose: the (ntb, bq) maxima store directly in the
+      transposed output layout, removing the VPU transpose that serialized
+      against the next MXU dot (pass 1 measured 74% of peak at N=8M);
+    - the supertile reduce runs on the (ntb, bq) maxima already in VMEM —
+      the (Q, nt) tile-max array (4 GB at Q=2048, N=8M) is never re-read
+      from HBM.
+    Both reshapes split the SUBLANE dim (Mosaic-supported; lane splits are
+    not — CLAUDE.md Mosaic notes)."""
+    scores_t = jax.lax.dot_general(
+        idx_ref[...], q_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, BQ)
+    bn, bq = scores_t.shape
+    m = jnp.max(scores_t.reshape(bn // tile, tile, bq), axis=1)  # (ntb, BQ)
+    out_ref[...] = m
+    sup_ref[...] = jnp.max(m.reshape(m.shape[0] // group, group, bq), axis=1)
+
+
+def _tilemax_sup_pallas(
+    qc: jnp.ndarray, index: jnp.ndarray, tile: int, group: int, interpret: bool
+):
+    """Fused pass 1 + supertile reduce; outputs TRANSPOSED.
+
+    Returns (main_t (n_main/tile, Q-padded), sup_t (n_main/tile/group,
+    Q-padded), tail (Q, t_tiles) | None, qp). Caller invariants as
+    _tilemax_pallas, plus ntb/group must be 8-divisible (group ≤ 16 with the
+    128-wide ntb) — enforced by the dispatch condition in the caller."""
+    from clip_lora_match_tpu.ops.geometry import assert_blocks_ok
+
+    Q, D = qc.shape
+    N = index.shape[0]
+    bn = 128 * tile
+    ntb = bn // tile
+    nsb = ntb // group
+    if Q <= 512:
+        qp = -(-Q // 8) * 8
+        bq = qp
+    else:
+        qp = -(-Q // 512) * 512
+        bq = 512
+    it = index.dtype.itemsize
+    while bq > 8:
+        need = (
+            2 * bn * D * it + bq * D * it + bn * bq * 4
+            + 2 * ntb * bq * 4 + 2 * nsb * bq * 4
+        )
+        half = bq // 2
+        if need <= _TILEMAX_VMEM or bq <= 64 or half % 8 or qp % half:
+            break
+        bq = half
+    if qp != Q:
+        qc = jnp.pad(qc, ((0, qp - Q), (0, 0)))
+    n_main = (N // bn) * bn
+    nt_main = n_main // tile
+
+    main_t = sup_t = None
+    if n_main > 0:
+        blocks = [
+            ("q", (bq, D), (qp, D)),
+            ("idx", (bn, D), (n_main, D)),
+            ("main_t", (ntb, bq), (nt_main, qp)),
+            ("sup_t", (nsb, bq), (nt_main // group, qp)),
+        ]
+        assert_blocks_ok(blocks, "tilemax_sup")
+        main_t, sup_t = pl.pallas_call(
+            functools.partial(_tilemax_sup_kernel, tile=tile, group=group),
+            grid=(n_main // bn, qp // bq),
+            in_specs=[
+                pl.BlockSpec((bq, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ntb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nsb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt_main, qp), jnp.float32),
+                jax.ShapeDtypeStruct((nt_main // group, qp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qc, index)
+    tail_max = None
+    if n_main < N:
+        tail = index[n_main:].reshape(-1, tile, D)
+        tail_max = jax.lax.dot_general(
+            qc[:Q], tail, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).max(axis=2)
+    return main_t, sup_t, tail_max
+
+
 def _tilemax_pallas(
     qc: jnp.ndarray, index: jnp.ndarray, tile: int, interpret: bool
 ) -> jnp.ndarray:
@@ -452,40 +550,65 @@ def _topk_twopass_impl(
     idx3 = index.reshape(nt, tile, D)
 
     if pallas_pass1:
-        main, tail = _tilemax_pallas(qc, index, tile, interpret)
+        # hierarchical mode runs the FUSED kernel (tile max + supertile max
+        # in one pass, outputs transposed — see _tilemax_sup_kernel); plain
+        # mode keeps the original kernel. Fused-kernel preconditions: the
+        # 128-tile block must split into 8-divisible supertile rows
+        # (group ≤ 16) and the supertile array must be wide enough for the
+        # selector.
+        bn_ = 128 * tile
+        nt_main_pre = (N // bn_) * bn_ // tile
+        km_pre = min(k_sel, nt_main_pre)
+        hier = (
+            group > 1
+            and nt_main_pre > 0
+            and 128 % group == 0
+            and (128 // group) % 8 == 0
+            and nt_main_pre % group == 0
+            and nt_main_pre // group >= km_pre
+        )
         # pass 2 without ever concatenating tail onto the (Q, nt) main part
         # (that concat re-copies 256 MB at N=1M — measured 3-6 ms): select
         # candidate tiles from each part, merge on the tiny (Q, ~k_sel+128)
         # candidate tensors, take the global top-k_sel there.
         parts_v, parts_i = [], []
-        if main is not None:
-            nt_main = main.shape[1]
+        if hier:
+            main_t, sup_t, tail = _tilemax_sup_pallas(
+                qc, index, tile, group, interpret
+            )
+            nt_main = main_t.shape[0]
             km = min(k_sel, nt_main)
-            if (
-                group > 1
-                and nt_main % group == 0
-                and nt_main // group >= km
-            ):
-                # hierarchical pass 2 (exactness: see caller docstring).
-                # supertile max is a cheap bandwidth-bound reduce; the
-                # expensive selector then runs over a group×-smaller array,
-                # and tile resolution touches only km·group values per query.
-                sup = main.reshape(Q, nt_main // group, group).max(axis=2)
-                _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
-                tids = (
-                    sup_ids.astype(jnp.int32)[:, :, None] * group
-                    + jnp.arange(group, dtype=jnp.int32)
-                ).reshape(Q, km * group)
-                tvals = jnp.take_along_axis(main, tids, axis=1)
-                mv, pos = jax.lax.top_k(tvals, km)
-                mi = jnp.take_along_axis(tids, pos, axis=1)
-            else:
-                mv, mi = jax.lax.approx_max_k(main, km, recall_target=1.0)
-                mi = mi.astype(jnp.int32)
+            # selector over the group×-smaller supertile array (transposed
+            # back — at Q=2048/N=8M that is a 256 MB copy vs the 4 GB
+            # tile-max array the unfused form re-read)
+            sup = sup_t.T[:Q]
+            _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
+            tids = (
+                sup_ids.astype(jnp.int32)[:, :, None] * group
+                + jnp.arange(group, dtype=jnp.int32)
+            ).reshape(Q, km * group)
+            # in-group resolution directly on the TRANSPOSED maxima:
+            # out[j, q] = main_t[tids.T[j, q], q] — only km·group values per
+            # query move; the (nt_main, Q) array itself is never transposed
+            # (the [:, :Q] slice is a no-op at the production operating
+            # points where Q is already 8/512-aligned)
+            tvals = jnp.take_along_axis(main_t[:, :Q], tids.T, axis=0).T
+            mv, pos = jax.lax.top_k(tvals, km)
+            mi = jnp.take_along_axis(tids, pos, axis=1)
             parts_v.append(mv)
             parts_i.append(mi)
+            base_tiles = nt_main
+        else:
+            main, tail = _tilemax_pallas(qc, index, tile, interpret)
+            base_tiles = 0
+            if main is not None:
+                nt_main = base_tiles = main.shape[1]
+                km = min(k_sel, nt_main)
+                mv, mi = jax.lax.approx_max_k(main, km, recall_target=1.0)
+                parts_v.append(mv)
+                parts_i.append(mi.astype(jnp.int32))
         if tail is not None:
-            base = 0 if main is None else main.shape[1]
+            base = base_tiles
             t_ids = base + jax.lax.broadcasted_iota(
                 jnp.int32, (Q, tail.shape[1]), 1
             )
