@@ -450,9 +450,11 @@ def _l14_extra(rng) -> dict:
     FLOPs/img): the largest family the reference's config-driven loader
     accepts (ref:models/clip_model.py:44-56). Full-width parity vs torch is
     pinned by tests/test_clip_parity.py::test_full_vit_l14_parity; this is
-    its serving number. B swept on v5e (r4): 480/511/561 img/s at
-    B=8/16/32 — still rising at 32, unlike B/32 and B/16 whose smaller
-    activations hit VMEM fusion windows sooner."""
+    its serving number. B swept on v5e — r4 {8,16,32}: 480/511/561, r5
+    {32,48,64,96} ×2 trials (scripts/exp_l14_batch_sweep.py): 614/616/505/487
+    img/s — the curve PLATEAUS at 32-48 then falls off the same VMEM fusion
+    window as the other families. B=32 stays (same throughput as 48 at
+    lower latency)."""
     from clip_lora_match_tpu.core.config import VIT_L14
     from clip_lora_match_tpu.models import clip as clip_model
 
