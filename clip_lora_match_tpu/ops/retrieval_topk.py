@@ -209,12 +209,16 @@ def topk_retrieve_reference(
 #           top-k over the (Q, k·T) candidates.
 
 
-# hierarchical pass-2 defaults: at N=1M (nt≈65k) the flat approx_max_k costs
-# ~2-3 ms at Q=1024 and the extra reduce+gather round-trips don't pay; the
-# 22 ms blowup is an HBM-scale (nt≈500k, N=8M) phenomenon. Auto-enable only
-# past 2^17 tile-max columns; re-measure with scripts/exp_topk_8m.py.
+# hierarchical pass-2 defaults. The r4 threshold (2^17 tile columns) was
+# calibrated against the UNFUSED form; the r5 fused kernel (supertile max as
+# a second pass-1 output, no in-kernel transpose) moved the crossover DOWN:
+# measured at Q=1024 bf16 (scripts/exp_topk_hier_1m.py + the 131k/262k/524k
+# sweep, 2-3 trials each): flat wins ≤ N=524k (nt_main≈32.6k; hier's fixed
+# supertile-transpose/gather costs dominate), fused-hier wins from N=1M
+# (nt_main≈62.5k: 9.4-10.0 vs 10.1-12.6 ms) through 4M (+28%) and 8M (+28%).
+# Threshold sits just under the N=1M main width.
 HIER_GROUP = 16
-HIER_MIN_TILES = 131_072
+HIER_MIN_TILES = 61_440
 
 
 def topk_retrieve_twopass(
