@@ -105,3 +105,56 @@ def test_real_captions_native_core_matches_python(ours):
                 for u in ours._bpe(bw).split(" ")
             ]
             assert native.encode_word(bw) == py, (t, word)
+
+
+# -- learner unit tests (tokenizer/learn.py) ---------------------------------
+
+
+def test_learn_bpe_known_corpus():
+    """Hand-countable corpus: (a, b</w>) appears 4x (words 'abab'x2 end in
+    b</w>? no — 'ab'x2 plus 'abab'x2 tails) vs (a, b) 3x, so it must be the
+    first merge; tokenizing the training words must use merged units."""
+    from clip_lora_match_tpu.tokenizer.learn import learn_bpe
+
+    vocab, merges = learn_bpe(["abab abab ab", "abc ab"], num_merges=4)
+    assert merges[0] == ("a", "b</w>")
+    tok = ClipTokenizer(vocab, merges)
+    units = tok.tokenize("abab")
+    assert all("ab" in u for u in units), units
+
+
+def test_learn_bpe_deterministic_and_layout():
+    from clip_lora_match_tpu.tokenizer.learn import learn_bpe
+
+    texts = ["black leggings for women", "white shirts for men"] * 3
+    v1, m1 = learn_bpe(texts, num_merges=32)
+    v2, m2 = learn_bpe(texts, num_merges=32)
+    assert v1 == v2 and m1 == m2
+    # CLIP layout: 512 byte units first, EOT last (argmax pooling contract)
+    from clip_lora_match_tpu.tokenizer.bpe import EOT_TOKEN, SOT_TOKEN
+
+    assert v1[EOT_TOKEN] == len(v1) - 1 and v1[SOT_TOKEN] == len(v1) - 2
+    ids = sorted(v1.values())
+    assert ids == list(range(len(v1)))
+
+
+def test_learn_bpe_matches_hf_on_training_corpus(tmp_path):
+    """A freshly learned table must produce HF-identical tokenization on its
+    own training corpus (end-to-end learner → files → both tokenizers)."""
+    from clip_lora_match_tpu.tokenizer.learn import learn_bpe, save_bpe
+
+    texts = [
+        "Blue Tshirts for Men, category Apparel/Topwear",
+        "Women Black Skinny Leggings, size 28!",
+        "kaca mata pink, ditemukan di atm",
+    ] * 2
+    vocab, merges = learn_bpe(texts, num_merges=64, min_pair_count=1)
+    save_bpe(vocab, merges, str(tmp_path))
+    mine = ClipTokenizer.from_dir(str(tmp_path))
+    from transformers import CLIPTokenizer
+
+    hf = CLIPTokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    )
+    for t in texts[:3]:
+        assert mine.tokenize(t) == hf._tokenize(t), t
