@@ -80,15 +80,14 @@ def flash_attention(
     """(B, H, S, d) fused attention with additive mask (B|1, 1, S, S)."""
     B, H, S, d = q.shape
     scale = float(scale if scale is not None else d ** -0.5)
-    bq = min(block_q, S)
-    bkv = min(block_kv, S)
-    sq = -(-S // bq) * bq
-    skv = -(-S // bkv) * bkv
+    # Mosaic-rule-asserting planner (ops/geometry.py) — caller-supplied
+    # block_q/block_kv that would only crash on real-TPU lowering raise here
+    # on every backend
+    from clip_lora_match_tpu.ops.geometry import plan_flash_attention
+
+    plan = plan_flash_attention(B, H, S, d, block_q, block_kv, group)
+    bq, bkv, sq, skv, G = plan.bq, plan.bkv, plan.sq, plan.skv, plan.G
     BH = B * H
-    G = group
-    while BH % G:
-        G //= 2
-    G = max(G, 1)
 
     if mask is None:
         mask = jnp.zeros((1, 1, S, S), jnp.float32)

@@ -253,3 +253,43 @@ def plan_mlp_fused(
         )
     assert_blocks_ok(plan.blocks, "mlp_fused")
     return plan
+
+
+# ---------------------------------------------------------------------------
+# flash_attention (ops/flash_attention.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashPlan:
+    bq: int
+    bkv: int
+    sq: int
+    skv: int
+    G: int
+    blocks: Tuple[Block, ...]
+
+
+def plan_flash_attention(
+    B: int, H: int, S: int, d: int, block_q: int, block_kv: int, group: int
+) -> FlashPlan:
+    """Geometry for ops/flash_attention.py (blockwise KV streaming)."""
+    bq = min(block_q, S)
+    bkv = min(block_kv, S)
+    sq = _ceil_to(S, bq)
+    skv = _ceil_to(S, bkv)
+    BH = B * H
+    G = group
+    while BH % G:
+        G //= 2
+    G = max(G, 1)
+    blocks = (
+        ("q", (G, bq, d), (BH, sq, d)),
+        ("k", (G, bkv, d), (BH, skv, d)),
+        ("v", (G, bkv, d), (BH, skv, d)),
+        ("mask", (G, bq, bkv), (BH, sq, skv)),
+        ("out", (G, bq, d), (BH, sq, d)),
+    )
+    plan = FlashPlan(bq=bq, bkv=bkv, sq=sq, skv=skv, G=G, blocks=blocks)
+    assert_blocks_ok(plan.blocks, "flash_attention")
+    return plan

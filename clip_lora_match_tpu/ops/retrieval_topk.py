@@ -497,6 +497,16 @@ def _tilemax_pallas(
 
     main = None
     if n_main > 0:
+        from clip_lora_match_tpu.ops.geometry import assert_blocks_ok
+
+        assert_blocks_ok(
+            [
+                ("q", (bq, D), (qp, D)),
+                ("idx", (bn, D), (n_main, D)),
+                ("out", (bq, bn // tile), (qp, n_main // tile)),
+            ],
+            "tilemax",
+        )
         out = pl.pallas_call(
             functools.partial(_tilemax_kernel, tile=tile),
             grid=(n_main // bn, qp // bq),

@@ -117,8 +117,11 @@ def test_lora_matmul_zero_b_is_base_matmul():
     "B,H,S,d,blocks",
     [
         (2, 4, 77, 64, (128, 128)),   # CLIP text geometry (one kv block)
-        (1, 2, 50, 64, (32, 32)),     # vision geometry, multi-block online path
-        (2, 2, 200, 64, (64, 64)),    # longer than one block both ways
+        # multi-block online path with Mosaic-LEGAL blocks: the mask block's
+        # minor dim is bkv, which must be 128-divisible or the full skv —
+        # so multi-KV-block coverage needs S > 128 with bkv=128
+        (1, 2, 300, 64, (128, 128)),  # 3 q blocks × 3 kv blocks
+        (2, 2, 200, 64, (200, 128)),  # single q block, 2 kv blocks
     ],
 )
 def test_flash_attention_matches_oracle(B, H, S, d, blocks):
@@ -135,7 +138,9 @@ def test_flash_attention_matches_oracle(B, H, S, d, blocks):
 
 
 def test_flash_attention_causal_mask():
-    B, H, S, d = 1, 2, 64, 64
+    # S=256 with 128-blocks: the online-softmax path crosses block
+    # boundaries in both q and kv while every block stays Mosaic-legal
+    B, H, S, d = 1, 2, 256, 64
     rng = np.random.default_rng(1)
     q = rng.normal(size=(B, H, S, d)).astype(np.float32)
     k = rng.normal(size=(B, H, S, d)).astype(np.float32)
@@ -147,7 +152,7 @@ def test_flash_attention_causal_mask():
     )
     got = flash_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(causal),
-        block_q=32, block_kv=32, interpret=True,
+        block_q=128, block_kv=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
