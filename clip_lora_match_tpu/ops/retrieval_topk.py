@@ -378,22 +378,30 @@ def _tilemax_sup_kernel(q_ref, idx_ref, out_ref, sup_ref, *, tile, group):
 
 
 def _tilemax_sup_pallas(
-    qc: jnp.ndarray, index: jnp.ndarray, tile: int, group: int, interpret: bool
+    qc: jnp.ndarray, index: jnp.ndarray, tile: int, group: int, interpret: bool,
+    bn_tiles: int = 128, block_q: Optional[int] = None,
 ):
     """Fused pass 1 + supertile reduce; outputs TRANSPOSED.
 
     Returns (main_t (n_main/tile, Q-padded), sup_t (n_main/tile/group,
     Q-padded), tail (Q, t_tiles) | None, qp). Caller invariants as
     _tilemax_pallas, plus ntb/group must be 8-divisible (group ≤ 16 with the
-    128-wide ntb) — enforced by the dispatch condition in the caller."""
+    128-wide ntb) — enforced by the dispatch condition in the caller.
+
+    ``bn_tiles``/``block_q``: geometry sweep knobs (scripts/exp_topk_8m
+    sweeps); defaults are the production operating point. bn_tiles must keep
+    ntb 128-divisible (main_t's minor is the lane dim of the store)."""
     from clip_lora_match_tpu.ops.geometry import assert_blocks_ok
 
     Q, D = qc.shape
     N = index.shape[0]
-    bn = 128 * tile
+    bn = bn_tiles * tile
     ntb = bn // tile
     nsb = ntb // group
-    if Q <= 512:
+    if block_q is not None:
+        qp = -(-Q // block_q) * block_q
+        bq = block_q
+    elif Q <= 512:
         qp = -(-Q // 8) * 8
         bq = qp
     else:
