@@ -129,3 +129,19 @@ def test_batch_queue_closed_raises(tiny_encoder):  # noqa: F811
     q.close()
     with pytest.raises(RuntimeError):
         q.encode_text("x")
+
+
+def test_set_seed_deterministic():
+    """set_seed (ref:scripts/train_lora.py:22-26) must make host RNGs and the
+    returned key reproducible."""
+    import random
+
+    import numpy as np
+
+    from clip_lora_match_tpu.utils import set_seed
+
+    k1 = set_seed(42)
+    a = (random.random(), np.random.rand(), np.asarray(k1).tolist())
+    k2 = set_seed(42)
+    b = (random.random(), np.random.rand(), np.asarray(k2).tolist())
+    assert a == b
