@@ -102,3 +102,29 @@ def test_train_lora_cli_chain_steps(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert "[train] done: 1 epochs, 4 steps" in r.stdout
     assert "nan" not in r.stdout.lower()
+
+
+@pytest.mark.slow
+def test_learn_bpe_cli(tmp_path):
+    """learn_bpe CLI: corpus CSV → vocab/merges files that round-trip through
+    ClipTokenizer with real merge structure."""
+    csv_path = tmp_path / "caps.csv"
+    csv_path.write_text(
+        "image_path,text\n"
+        + "\n".join(
+            f"img{i}.jpg,\"black leggings for women, category apparel\""
+            for i in range(8)
+        )
+        + "\n"
+    )
+    out = tmp_path / "bpe"
+    r = _run([
+        "scripts/learn_bpe.py", "--csv", str(csv_path),
+        "--merges", "64", "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    from clip_lora_match_tpu.tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer.from_dir(str(out))
+    units = tok.tokenize("black leggings for women")
+    assert len(units) <= 8 and any(len(u) > 4 for u in units), units
