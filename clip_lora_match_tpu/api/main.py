@@ -38,15 +38,11 @@ from clip_lora_match_tpu.api.schemas import (
     ReportItemResponse,
     SearchResponse,
 )
+from clip_lora_match_tpu.api.wiring import build_services
 from clip_lora_match_tpu.core.logging import get_logger
-from clip_lora_match_tpu.db.store import BaseStore, open_store
-from clip_lora_match_tpu.models.encoder import ClipEncoder, load_clip_model
-from clip_lora_match_tpu.services import (
-    FinderConfig,
-    FinderService,
-    SeekerConfig,
-    SeekerService,
-)
+from clip_lora_match_tpu.db.store import BaseStore
+from clip_lora_match_tpu.models.encoder import ClipEncoder
+from clip_lora_match_tpu.services import FinderService, SeekerService
 
 log = get_logger("api")
 
@@ -70,30 +66,16 @@ def create_app(
             "'clip-lora-match-tpu[api]'"
         ) from e
 
-    encoder = encoder or load_clip_model()
-    if use_batch_queue and finder is None and seeker is None:
-        # coalesce concurrent request encodes into one padded device batch
-        # (endpoints run in FastAPI's threadpool, so requests CAN overlap)
-        from clip_lora_match_tpu.services import QueuedEncoder
-
-        encoder = QueuedEncoder(encoder)
-    store = store or open_store()
-    index_path = index_path or os.path.join(data_dir, "index", "items_index.npz")
-    if finder is None:
-        finder = FinderService(
-            encoder,
-            FinderConfig(
-                index_path=index_path,
-                reported_images_dir=os.path.join(data_dir, "reported", "images"),
-                k_dim=encoder.arch.projection_dim,
-            ),
-            store=store,
-        )
-    if seeker is None:
-        # share the finder's device-resident index (ref reloaded per query)
-        seeker = SeekerService(
-            encoder, SeekerConfig(index_path=index_path), index=finder.index
-        )
+    graph = build_services(
+        encoder=encoder,
+        finder=finder,
+        seeker=seeker,
+        store=store,
+        data_dir=data_dir,
+        index_path=index_path,
+        use_batch_queue=use_batch_queue,
+    )
+    finder, seeker, store = graph.finder, graph.seeker, graph.store
 
     app = FastAPI(title="Balikkin ML Service (TPU)", version="0.1.0")
     app.add_middleware(

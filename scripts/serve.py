@@ -1,5 +1,10 @@
-"""Run the FastAPI service (role of ref:src/api/main.py module-level app;
-requires the optional [api] extra)."""
+"""Serve the HTTP API (role of ref:src/api/main.py module-level app).
+
+Uses FastAPI+uvicorn when installed (`--binding fastapi`); otherwise the
+dependency-free stdlib binding (api/http_server.py) serves the same REST
+surface — so this entry point actually runs in environments without the
+[api] extra, unlike the reference which hard-requires fastapi.
+"""
 
 import argparse
 
@@ -12,20 +17,56 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--db", default=None)
+    p.add_argument(
+        "--binding",
+        choices=["auto", "fastapi", "stdlib"],
+        default="auto",
+        help="HTTP stack: fastapi+uvicorn, the stdlib http.server binding, "
+        "or auto (fastapi when importable, stdlib otherwise)",
+    )
     add_encoder_args(p)
     args = p.parse_args()
 
-    import uvicorn
+    binding = args.binding
+    if binding == "auto":
+        try:
+            import fastapi  # noqa: F401
+            import uvicorn  # noqa: F401
 
-    from clip_lora_match_tpu.api.main import create_app
+            binding = "fastapi"
+        except ImportError:
+            binding = "stdlib"
+
     from clip_lora_match_tpu.db.store import open_store
 
-    app = create_app(
-        encoder=build_encoder(args),
-        store=open_store(args.db),
-        data_dir=args.data_dir,
-    )
-    uvicorn.run(app, host=args.host, port=args.port)
+    encoder = build_encoder(args)
+    store = open_store(args.db)
+
+    if binding == "fastapi":
+        import uvicorn
+
+        from clip_lora_match_tpu.api.main import create_app
+
+        app = create_app(encoder=encoder, store=store, data_dir=args.data_dir)
+        uvicorn.run(app, host=args.host, port=args.port)
+    else:
+        from clip_lora_match_tpu.api.http_server import create_server
+
+        server = create_server(
+            args.host,
+            args.port,
+            encoder=encoder,
+            store=store,
+            data_dir=args.data_dir,
+        )
+        print(
+            f"[serve] stdlib binding listening on "
+            f"http://{server.server_address[0]}:{server.server_address[1]}"
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
 
 
 if __name__ == "__main__":
