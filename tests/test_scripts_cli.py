@@ -128,3 +128,46 @@ def test_learn_bpe_cli(tmp_path):
     tok = ClipTokenizer.from_dir(str(out))
     units = tok.tokenize("black leggings for women")
     assert len(units) <= 8 and any(len(u) > 4 for u in units), units
+
+
+@pytest.mark.slow
+def test_serve_cli_stdlib_binding(tmp_path):
+    """serve.py boots the stdlib binding end-to-end: subprocess serves
+    /health over a real socket with a random-init encoder + sqlite store."""
+    import re
+    import time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--binding", "stdlib",
+         "--host", "127.0.0.1", "--port", "0",
+         "--db", str(tmp_path / "serve.sqlite")],
+        cwd=REPO, env=ENV, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    break
+                continue
+            m = re.search(r"listening on http://[^:]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, f"server never announced a port; rc={proc.poll()} " \
+                     f"stderr={proc.stderr.read()[-800:]}"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
