@@ -670,6 +670,361 @@ def _topk_twopass_impl(
     return s, jnp.take_along_axis(flat_ids, pos, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Int8-quantized HBM-scale retrieval (r5)
+# ---------------------------------------------------------------------------
+#
+# At the 8M-row operating point the two-pass path is MXU-bound at Q=2048
+# (17.2 TFLOP/pass vs a 10 ms HBM read) and HBM-bound at small Q. An int8
+# index attacks both walls at once: the v5e MXU runs int8×int8→int32 at 2×
+# the bf16 rate (394 vs 197 TOP/s) and the index stream halves to 1 byte per
+# element (an 8M×512 index drops 8 GB → 4 GB, doubling the max single-chip
+# index to 16M rows).
+#
+# Quantization scheme: symmetric per-ROW scales on both sides —
+# ``s[n] = max|x[n,:]| / 127``, ``xq = round(x/s)``; queries are normalized
+# in fp32 first, then quantized the same way. Scores are
+# ``(qq · xq) · s_q · s_n``. Ranking over the QUANTIZED scores is EXACT end
+# to end: the int32 dot is exact, and because every int8×int8 product is
+# ≤ 127² and D ≤ 2¹⁰ keeps partial sums under 2²⁴, the pass-3 fp32 rescore
+# of dequantized rows reproduces the pass-1 integers bit-exactly — the
+# two-pass containment argument (see topk_retrieve_twopass) carries over
+# unchanged. The only approximation is quantization of the index/query
+# values themselves (recall vs the fp32 oracle is measured in
+# tests/test_ops_retrieval.py and reported in docs/DESIGN.md §7.5).
+#
+# The reference has no quantized retrieval (fp32 torch.topk throughout,
+# ref:src/embedding/search.py:96-99); this is a TPU-serving addition.
+
+
+def quantize_index_int8(
+    index: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, D) float index → (values int8 (N, D), scales fp32 (N, 1)).
+
+    Symmetric per-row: preserves cosine ranking structure of L2-normalized
+    rows (each row's scale divides out of nothing — it multiplies that row's
+    score only, which is exactly how the quantized scorer applies it)."""
+    x = jnp.asarray(index, jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    vq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return vq, s
+
+
+def _quantize_queries(queries: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalize (cosine contract) then int8-quantize per query row."""
+    q = queries.astype(jnp.float32)
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True) + 1e-12)
+    amax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+    s_q = jnp.maximum(amax, 1e-12) / 127.0
+    qq = jnp.clip(jnp.round(q / s_q), -127, 127).astype(jnp.int8)
+    return qq, s_q
+
+
+def _tilemax_sup_q8_kernel(
+    q_ref, idx_ref, sc_ref, out_ref, sup_ref, *, tile, group, mxu
+):
+    """Int8 variant of _tilemax_sup_kernel: int8×int8→int32 dot on the MXU
+    (or an exact bf16 fallback — int8 values are exact in bf16 and partial
+    sums stay < 2²⁴, so both forms produce identical integers), dequantized
+    by the per-row index scale before the tile/supertile max reduces.
+
+    The per-QUERY scale is deliberately NOT applied here: it multiplies whole
+    lanes (columns) uniformly and positively, so every per-query ordering
+    pass 2 runs on the maxima is invariant to it; pass 3 applies it to the
+    final candidate scores."""
+    if mxu == "int8":
+        yi = jax.lax.dot_general(
+            idx_ref[...], q_ref[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores_t = yi.astype(jnp.float32)
+    else:  # exact bf16 form (see docstring)
+        scores_t = jax.lax.dot_general(
+            idx_ref[...].astype(jnp.bfloat16),
+            q_ref[...].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores_t = scores_t * sc_ref[...]  # (BN, BQ) * (BN, 1)
+    bn, bq = scores_t.shape
+    m = jnp.max(scores_t.reshape(bn // tile, tile, bq), axis=1)
+    out_ref[...] = m
+    sup_ref[...] = jnp.max(m.reshape(m.shape[0] // group, group, bq), axis=1)
+
+
+def _tilemax_sup_q8_pallas(
+    qq: jnp.ndarray, vq: jnp.ndarray, sc: jnp.ndarray,
+    tile: int, group: int, interpret: bool, mxu: str,
+    bn_tiles: int = 128, block_q: Optional[int] = None,
+):
+    """Fused q8 pass 1 + supertile reduce; same contract/layout as
+    _tilemax_sup_pallas (outputs transposed), int8 operands."""
+    from clip_lora_match_tpu.ops.geometry import assert_blocks_ok
+
+    Q, D = qq.shape
+    N = vq.shape[0]
+    bn = bn_tiles * tile
+    ntb = bn // tile
+    nsb = ntb // group
+    if block_q is not None:
+        qp = -(-Q // block_q) * block_q
+        bq = block_q
+    elif Q <= 512:
+        qp = -(-Q // 8) * 8
+        bq = qp
+    else:
+        qp = -(-Q // 512) * 512
+        bq = 512
+    while bq > 8:
+        # int8 blocks stream at 1 B/elem; the int32+fp32 score transients
+        # (4 B each) dominate the VMEM working set
+        need = (
+            2 * bn * D + bq * D + 2 * bn * bq * 4
+            + 2 * ntb * bq * 4 + 2 * nsb * bq * 4
+        )
+        half = bq // 2
+        if need <= _TILEMAX_VMEM or bq <= 64 or half % 8 or qp % half:
+            break
+        bq = half
+    if qp != Q:
+        qq = jnp.pad(qq, ((0, qp - Q), (0, 0)))
+    n_main = (N // bn) * bn
+    nt_main = n_main // tile
+
+    main_t = sup_t = None
+    if n_main > 0:
+        blocks = [
+            ("q", (bq, D), (qp, D)),
+            ("idx", (bn, D), (n_main, D)),
+            ("scale", (bn, 1), (n_main, 1)),
+            ("main_t", (ntb, bq), (nt_main, qp)),
+            ("sup_t", (nsb, bq), (nt_main // group, qp)),
+        ]
+        assert_blocks_ok(blocks, "tilemax_sup_q8")
+        main_t, sup_t = pl.pallas_call(
+            functools.partial(
+                _tilemax_sup_q8_kernel, tile=tile, group=group, mxu=mxu
+            ),
+            grid=(n_main // bn, qp // bq),
+            in_specs=[
+                pl.BlockSpec((bq, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ntb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nsb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt_main, qp), jnp.float32),
+                jax.ShapeDtypeStruct((nt_main // group, qp), jnp.float32),
+            ],
+            interpret=interpret,
+            # full arrays, grid covers only the bn-aligned prefix — slicing
+            # here would copy the (possibly GB-scale) index (see
+            # _tilemax_pallas's no-padding-copy note)
+        )(qq, vq, sc)
+    tail_max = None
+    if n_main < N:
+        tail = vq[n_main:].astype(jnp.float32).reshape(-1, tile, D)
+        ts = jax.lax.dot_general(
+            qq[:Q].astype(jnp.float32), tail, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, t_tiles, tile)
+        ts = ts * sc[n_main:].reshape(1, -1, tile)
+        tail_max = ts.max(axis=2)
+    return main_t, sup_t, tail_max
+
+
+def topk_retrieve_q8(
+    queries: jnp.ndarray,
+    values: jnp.ndarray,
+    scales: jnp.ndarray,
+    k: int = 10,
+    tile: int = 16,
+    n_valid=None,
+    max_pad: Optional[int] = None,
+    pallas_pass1: Optional[bool] = None,
+    interpret: bool = False,
+    group: Optional[int] = None,
+    mxu: str = "int8",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass top-k over an int8-quantized index (see module comment).
+
+    queries: (Q, D) raw float — normalized then int8-quantized here.
+    values/scales: from ``quantize_index_int8`` (values (N, D) int8, scales
+    (N, 1) fp32). ``mxu``: 'int8' (2× MXU rate) or 'bf16' (identical
+    integers, half rate — the measured fallback if Mosaic rejects the int8
+    dot on some geometry). Other args as ``topk_retrieve_twopass``.
+
+    Selection is EXACT over the quantized scores; returned scores are the
+    quantized cosine approximations (|err| ≲ 2·D·s_q·s_n/2 per dot — in
+    practice ≤ ~1e-2 absolute on normalized embeddings).
+    """
+    if mxu not in ("int8", "bf16"):
+        raise ValueError(f"bad mxu mode {mxu!r}")
+    N = values.shape[0]
+    k = min(k, N)
+    nt = -(-N // tile)
+
+    if n_valid is None:
+        pad_bound = 0
+        nv = None
+    elif isinstance(n_valid, (int, np.integer)):
+        pad_bound = N - int(n_valid)
+        nv = int(n_valid)
+    else:
+        if max_pad is None:
+            raise ValueError("traced n_valid requires a static max_pad bound")
+        pad_bound = int(max_pad)
+        nv = n_valid
+    shape_pad = nt * tile - N
+    total_pad = shape_pad + pad_bound
+    extra = (-(-total_pad // tile) + 1) if total_pad > 0 else 0
+    k_sel = k + extra
+
+    if nt < k_sel:
+        # tiny index: exact dequantized oracle (scores identical to the
+        # quantized scorer — fp32 dot of int-valued floats is exact)
+        qq, s_q = _quantize_queries(queries)
+        # scale order (dot · s_n) · s_q matches pass 3 bit-for-bit (fp32
+        # multiply is not associative; a different order can flip ties)
+        sims = (
+            jnp.dot(qq.astype(jnp.float32), values.astype(jnp.float32).T)
+            * scales[:, 0][None, :] * s_q
+        )
+        if nv is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            sims = jnp.where(col < nv, sims, NEG_INF)
+        s, i = jax.lax.top_k(sims, k)
+        return s, i.astype(jnp.int32)
+    if pallas_pass1 is None:
+        pallas_pass1 = (
+            jax.default_backend() == "tpu"
+            and queries.shape[1] % 128 == 0
+            and tile % 8 == 0
+            and tile <= 16
+        )
+    if group is None:
+        bn = 128 * tile
+        nt_main = ((N // bn) * bn) // tile
+        group = HIER_GROUP if pallas_pass1 and nt_main >= HIER_MIN_TILES else 0
+    elif group > 1 and 128 % group != 0:
+        raise ValueError(f"group={group} must divide 128")
+    return _topk_q8_impl(
+        queries, values, scales,
+        jnp.asarray(N if nv is None else nv, jnp.int32),
+        k=k, k_sel=k_sel, tile=tile,
+        pallas_pass1=bool(pallas_pass1), interpret=interpret,
+        group=int(group), mxu=mxu,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "k_sel", "tile", "pallas_pass1", "interpret", "group", "mxu"
+    ),
+)
+def _topk_q8_impl(
+    queries: jnp.ndarray,
+    values: jnp.ndarray,
+    scales: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    k: int,
+    k_sel: int,
+    tile: int,
+    pallas_pass1: bool,
+    interpret: bool,
+    group: int,
+    mxu: str,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    Q, D = queries.shape
+    N = values.shape[0]
+    qq, s_q = _quantize_queries(queries)
+
+    nt = -(-N // tile)
+    n_pad = nt * tile
+    if n_pad != N:
+        # zero values + zero scales: pad rows score exactly 0, same slack
+        # accounting as the fp32 path's pad_value=0
+        values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
+        scales = jnp.pad(scales, ((0, n_pad - N), (0, 0)))
+    vq3 = values.reshape(nt, tile, D)
+    sc3 = scales.reshape(nt, tile)
+
+    hier = False
+    if pallas_pass1:
+        bn_ = 128 * tile
+        nt_main_pre = (N // bn_) * bn_ // tile
+        km_pre = min(k_sel, nt_main_pre)
+        hier = (
+            group > 1
+            and nt_main_pre > 0
+            and 128 % group == 0
+            and (128 // group) % 8 == 0
+            and nt_main_pre % group == 0
+            and nt_main_pre // group >= km_pre
+        )
+    if hier:
+        main_t, sup_t, tail = _tilemax_sup_q8_pallas(
+            qq, values, scales, tile, group, interpret, mxu
+        )
+        nt_main = main_t.shape[0]
+        km = min(k_sel, nt_main)
+        sup = sup_t.T[:Q]
+        _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
+        tids = (
+            sup_ids.astype(jnp.int32)[:, :, None] * group
+            + jnp.arange(group, dtype=jnp.int32)
+        ).reshape(Q, km * group)
+        tvals = jnp.take_along_axis(main_t[:, :Q], tids.T, axis=0).T
+        mv, pos = jax.lax.top_k(tvals, km)
+        mi = jnp.take_along_axis(tids, pos, axis=1)
+        parts_v, parts_i = [mv], [mi]
+        base_tiles = nt_main
+        if tail is not None:
+            t_ids = base_tiles + jax.lax.broadcasted_iota(
+                jnp.int32, (Q, tail.shape[1]), 1
+            )
+            parts_v.append(tail)
+            parts_i.append(t_ids)
+        cand_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=1)
+        cand_i = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=1)
+        _, pos = jax.lax.top_k(cand_v, min(k_sel, cand_v.shape[1]))
+        tile_ids = jnp.take_along_axis(cand_i, pos, axis=1)
+    else:
+        # XLA fused form: fp32 dot of int-valued floats (exact, see module
+        # comment), per-row dequant fused into the consuming max
+        scores = jax.lax.dot_general(
+            qq.astype(jnp.float32), vq3.astype(jnp.float32),
+            (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, nt, tile)
+        tile_max = (scores * sc3[None]).max(axis=2)
+        _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
+        tile_ids = tile_ids.astype(jnp.int32)
+    tile_ids = jnp.minimum(tile_ids, nt - 1)
+
+    # pass 3: gather, rescore (bit-identical to pass 1 — int-valued fp32
+    # dot), apply BOTH scales, mask pads, exact top-k
+    rows = vq3[tile_ids].astype(jnp.float32)  # (Q, k_sel, tile, D)
+    row_sc = sc3[tile_ids]  # (Q, k_sel, tile)
+    cand = jnp.einsum(
+        "qd,qktd->qkt", qq.astype(jnp.float32), rows,
+        preferred_element_type=jnp.float32,
+    )
+    cand = (cand * row_sc).reshape(Q, k_sel * tile) * s_q
+    flat_ids = (tile_ids[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+                ).reshape(Q, k_sel * tile)
+    cand = jnp.where(flat_ids < n_valid, cand, NEG_INF)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(flat_ids, pos, axis=1)
+
+
 # N above which the two-pass path beats the streaming kernel. Re-measured on
 # v5e with the Pallas tile-max pass 1 (Q=256, D=512, k=10): streaming wins at
 # 40,960 (466k vs 278k qps), two-pass from 65,536 up (400k vs 288k; 4.6x by
