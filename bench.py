@@ -399,7 +399,64 @@ def _big_topk_extras() -> dict:
             qs2k, index, iters=4, label="topk_8m_bfloat16",
         )
         out["topk_8m_bf16_qps"] = round(2048 / t, 1)
-        del index
+
+        # int8-quantized index at the same operating point: half the HBM
+        # stream AND the 2× int8 MXU rate (r5, ops/retrieval_topk.py q8 path;
+        # selection exact over quantized scores, recall pinned in tests).
+        # Quantize in donated 1M-row chunks — a whole-index fp32 transient
+        # would be 16 GB.
+        try:
+            from clip_lora_match_tpu.ops.retrieval_topk import (
+                quantize_index_int8,
+                topk_retrieve_q8,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def _qfill(vbuf, sbuf, chunk, i):
+                vq, sc = quantize_index_int8(chunk)
+                return (
+                    jax.lax.dynamic_update_slice(vbuf, vq, (i, 0)),
+                    jax.lax.dynamic_update_slice(sbuf, sc, (i, 0)),
+                )
+
+            vbuf = jnp.zeros((n8, 512), jnp.int8)
+            sbuf = jnp.zeros((n8, 1), jnp.float32)
+            for c in range(n8 // ch):
+                vbuf, sbuf = _qfill(
+                    vbuf, sbuf, index[c * ch : (c + 1) * ch], c * ch
+                )
+            del index
+            t = _bench(
+                lambda a, b, c: topk_retrieve_q8(a, b, c, 10),
+                qs2k, vbuf, sbuf, iters=4, label="topk_8m_int8",
+            )
+            out["topk_8m_int8_qps"] = round(2048 / t, 1)
+            del vbuf, sbuf
+
+            # 16M rows — the int8-only capability point (8 GB values: a bf16
+            # index this size cannot coexist with its transients on one chip)
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def _qgen(vbuf, sbuf, key, i):
+                chunk = jax.random.normal(key, (ch, 512), jnp.bfloat16)
+                vq, sc = quantize_index_int8(chunk)
+                return (
+                    jax.lax.dynamic_update_slice(vbuf, vq, (i, 0)),
+                    jax.lax.dynamic_update_slice(sbuf, sc, (i, 0)),
+                )
+
+            n16 = 16_000_000
+            vbuf = jnp.zeros((n16, 512), jnp.int8)
+            sbuf = jnp.zeros((n16, 1), jnp.float32)
+            for c in range(n16 // ch):
+                vbuf, sbuf = _qgen(vbuf, sbuf, jax.random.PRNGKey(c), c * ch)
+            t = _bench(
+                lambda a, b, c: topk_retrieve_q8(a, b, c, 10),
+                qs2k, vbuf, sbuf, iters=3, label="topk_16m_int8",
+            )
+            out["topk_16m_int8_qps"] = round(2048 / t, 1)
+            del vbuf, sbuf
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] topk int8 extras skipped: {e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — 8 GB alloc can lose to fragmentation
         print(f"[bench] topk_8m extra skipped: {e}", file=sys.stderr)
 

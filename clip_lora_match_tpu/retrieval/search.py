@@ -41,6 +41,7 @@ class SearchIndex:
         dim: int = 512,
         approximate: bool = False,
         recall_target: float = 0.95,
+        quantize: str = "none",
     ):
         # drop-in parity: the reference constructs from a path
         # (ref:src/embedding/search.py:24 ``TextSearchIndex(index_path)``)
@@ -52,6 +53,44 @@ class SearchIndex:
         # see top_k_similar's docstring for the measured dispatch rationale
         self.approximate = approximate
         self.recall_target = recall_target
+        # quantize="int8": per-row int8 index (half/quarter the HBM, int8 MXU
+        # rate) — selection exact over the quantized scores, quantization the
+        # only approximation (recall@10 ≈ 0.98 on worst-case random data;
+        # ops/retrieval_topk.py module comment). Cache keyed on index size so
+        # finder appends invalidate it.
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be 'none' or 'int8', got {quantize!r}")
+        self.quantize = quantize
+        self._q8: Optional[tuple] = None
+
+    def _q8_state(self):
+        """(values, scales) for the current index rows; caller holds the lock."""
+        if self._q8 is None or self._q8[0] != len(self.index):
+            import jax.numpy as jnp
+
+            from clip_lora_match_tpu.ops.retrieval_topk import (
+                quantize_index_int8,
+            )
+
+            vq, sc = quantize_index_int8(
+                self.index.embeddings.astype(jnp.float32)
+            )
+            self._q8 = (len(self.index), vq, sc)
+        return self._q8[1], self._q8[2]
+
+    def _topk(self, queries_2d: np.ndarray, k: int):
+        """Dispatch one (Q, D) batch under the index lock."""
+        if self.quantize == "int8":
+            from clip_lora_match_tpu.ops.retrieval_topk import topk_retrieve_q8
+
+            vq, sc = self._q8_state()
+            s, i = topk_retrieve_q8(queries_2d, vq, sc, k)
+            return np.atleast_2d(np.asarray(s)), np.atleast_2d(np.asarray(i))
+        s, i = top_k_similar(
+            queries_2d, self.index.embeddings, k, assume_normalized=True,
+            approximate=self.approximate, recall_target=self.recall_target,
+        )
+        return np.atleast_2d(np.asarray(s)), np.atleast_2d(np.asarray(i))
 
     @classmethod
     def from_file(
@@ -85,10 +124,8 @@ class SearchIndex:
         # hold the index lock through dispatch+materialization: an append's
         # donated-buffer swap while we read would hand us a deleted array
         with self.index.lock:
-            scores, idx = top_k_similar(
-                q, self.index.embeddings, k, assume_normalized=True,
-                approximate=self.approximate, recall_target=self.recall_target,
-            )
+            scores, idx = self._topk(q[None], k)
+        scores, idx = scores[0], idx[0]
         results = []
         for s, i in zip(scores, idx):
             path, text = self.index.metadata(int(i))
@@ -121,10 +158,7 @@ class SearchIndex:
         if len(self.index) == 0:
             return [[] for _ in range(queries.shape[0])]
         with self.index.lock:
-            scores, idx = top_k_similar(
-                queries, self.index.embeddings, k, assume_normalized=True,
-                approximate=self.approximate, recall_target=self.recall_target,
-            )
+            scores, idx = self._topk(queries, k)
         out = []
         for qs, qi in zip(scores, idx):
             row = []

@@ -152,6 +152,21 @@ def main():
         return topk_retrieve_auto(qs, index_j[:8192].astype(jnp.bfloat16), 10)
     run_topk_bf16()
 
+    # --- int8-quantized retrieval (q8 two-pass incl. the fused hier pass-1
+    # kernel's int8 MXU dot — forced group so the kernel compiles at smoke
+    # size; production auto-fires it at HBM scale) ---
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        quantize_index_int8,
+        topk_retrieve_q8,
+    )
+
+    vq, sc = quantize_index_int8(index_j)
+
+    @smoke("topk q8 N=40960 hier int8-MXU")
+    def run_topk_q8():
+        return topk_retrieve_q8(qs, vq, sc, 10, group=16)
+    run_topk_q8()
+
     # --- LoRA train step (plain-XLA towers, the training dispatch) ---
     if os.environ.get("CLM_SMOKE_SKIP_TRAIN") != "1":
         prev = set_kernel_flags(

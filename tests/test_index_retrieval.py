@@ -100,6 +100,32 @@ def test_search_index_approximate_flag(rng):
     assert r_ap[0].index == 7
 
 
+def test_search_index_quantize_int8(rng):
+    """Opt-in int8-quantized SearchIndex: same top-k as exact on separated
+    data, batched path included, and the q8 cache invalidates on append."""
+    emb = rng.normal(size=(96, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = EmbeddingIndex(dim=64)
+    for i in range(96):
+        index.append(emb[i], f"p{i}", f"t{i}")
+    exact = SearchIndex(index)
+    q8 = SearchIndex(index, quantize="int8")
+    r_ex = exact.search_with_embedding(emb[11], k=5)
+    r_q8 = q8.search_with_embedding(emb[11], k=5)
+    assert r_q8[0].index == 11 and r_q8[0].score == pytest.approx(1.0, abs=5e-3)
+    assert {r.index for r in r_q8} == {r.index for r in r_ex}
+    # batched path
+    rb = q8.search_batch(emb[[3, 4]], k=3)
+    assert rb[0][0].index == 3 and rb[1][0].index == 4
+    # appends invalidate the quantized cache (keyed on size)
+    new = rng.normal(size=64).astype(np.float32)
+    new /= np.linalg.norm(new)
+    row = index.append(new, "pnew", "tnew")
+    assert q8.search_with_embedding(new, k=1)[0].index == row
+    with pytest.raises(ValueError):
+        SearchIndex(index, quantize="int4")
+
+
 def test_index_append_and_search(rng):
     idx = EmbeddingIndex(dim=16)
     assert len(idx) == 0
