@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_lora_match_tpu.parallel.mesh import DATA_AXIS
 from clip_lora_match_tpu.ops.retrieval_topk import (
+    topk_retrieve_q8,
     topk_retrieve_reference,
     topk_retrieve_twopass,
 )
@@ -106,3 +107,56 @@ def sharded_topk_retrieve(
         check_rep=False,
     )
     return jax.jit(fn)(jnp.asarray(queries), index)
+
+
+def shard_index_q8(mesh: Mesh, values, scales) -> tuple[jax.Array, jax.Array]:
+    """Place an int8-quantized index (values (N, D) int8, scales (N, 1) fp32
+    from ops.retrieval_topk.quantize_index_int8) row-sharded over the data
+    axis. At 16M rows/chip (8 GB int8) a v5e-8 holds a 128M-row index."""
+    return shard_index(mesh, values), shard_index(mesh, scales)
+
+
+def sharded_topk_retrieve_q8(
+    queries,
+    values: jax.Array,
+    scales: jax.Array,
+    k: int = 10,
+    mesh: Mesh | None = None,
+    n_valid: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over a row-sharded int8-quantized index: per-shard q8 two-pass
+    (selection exact over the quantized scores — see ops/retrieval_topk.py),
+    (Q, k) candidates all-gathered over ICI, one tiny exact merge. Same
+    distributed-top-k shape as ``sharded_topk_retrieve``."""
+    from clip_lora_match_tpu.parallel.mesh import compat_shard_map
+
+    if mesh is None:
+        mesh = values.sharding.mesh  # type: ignore[union-attr]
+    if n_valid is None:
+        n_valid = values.shape[0]
+    max_pad = values.shape[0] - int(n_valid)
+
+    def local(q, vq_shard, sc_shard):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        shard_n = vq_shard.shape[0]
+        # pad rows (zero values AND zero scales) score exactly 0 in the q8
+        # scorer; local_valid masks them out of the local k the same way as
+        # the fp32 path
+        local_valid = jnp.clip(n_valid - shard * shard_n, 0, shard_n)
+        s, i = topk_retrieve_q8(
+            q, vq_shard, sc_shard, k, n_valid=local_valid, max_pad=max_pad
+        )
+        i = i + shard * shard_n
+        s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, DATA_AXIS, axis=1, tiled=True)
+        fs, pos = jax.lax.top_k(s_all, k)
+        return fs, jnp.take_along_axis(i_all, pos, axis=1)
+
+    fn = compat_shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(jnp.asarray(queries), values, scales)

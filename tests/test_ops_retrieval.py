@@ -420,6 +420,43 @@ def test_sharded_topk_matches_oracle():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
 
 
+def test_sharded_topk_q8_matches_quantized_oracle():
+    """8-way sharded int8 retrieval on the virtual CPU mesh: per-shard q8
+    selection + ICI candidate merge must equal the whole-index q8 oracle.
+    (Per-shard quantization IS whole-index quantization — scales are
+    per-row, so sharding commutes with quantization.)"""
+    import jax
+
+    from clip_lora_match_tpu.ops.retrieval_topk import quantize_index_int8
+    from clip_lora_match_tpu.parallel.mesh import make_mesh, pad_to_multiple
+    from clip_lora_match_tpu.retrieval.sharded import (
+        shard_index_q8,
+        sharded_topk_retrieve_q8,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=8)
+    rng = np.random.default_rng(4)
+    N = 10_001  # ragged: pads to 10_008, 1251 rows/shard
+    idx = rng.normal(size=(N, 64)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(7, 64)).astype(np.float32)
+    vq, sc = quantize_index_int8(jnp.asarray(idx))
+    padded, n_valid = pad_to_multiple(np.asarray(vq), 8)
+    sc_padded, _ = pad_to_multiple(np.asarray(sc), 8)
+    with mesh:
+        v_pl, s_pl = shard_index_q8(
+            mesh, jnp.asarray(padded, jnp.int8), jnp.asarray(sc_padded)
+        )
+        s, i = sharded_topk_retrieve_q8(
+            qs, v_pl, s_pl, k=10, mesh=mesh, n_valid=n_valid
+        )
+    so, io = _q8_oracle(qs, np.asarray(vq), np.asarray(sc), 10)
+    np.testing.assert_allclose(np.asarray(s), so, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), io)
+
+
 def test_twopass_small_n_fallback():
     """ceil(N/tile) < k must not crash (falls back to the oracle path)."""
     from clip_lora_match_tpu.ops.retrieval_topk import (
