@@ -230,3 +230,52 @@ class EmbeddingIndex:
         image_paths = data.get("image_paths", data.get("image_path", []))
         texts = data.get("texts", data.get("text", []))
         return cls(emb, list(image_paths), list(texts))
+
+
+# -- quantized-index persistence -------------------------------------------------
+
+
+def save_index_q8(
+    path: str,
+    values,
+    scales,
+    image_paths: Optional[Sequence[str]] = None,
+    texts: Optional[Sequence[str]] = None,
+) -> None:
+    """Persist an int8-quantized index (ops.retrieval_topk.quantize_index_int8
+    output) as .npz + .json sidecar. At HBM scale the fp32 source may not fit
+    anywhere to re-quantize from (16M rows = 32 GB fp32), so the quantized
+    form is the durable artifact."""
+    v = np.asarray(values)
+    s = np.asarray(scales, np.float32)
+    if v.dtype != np.int8 or v.ndim != 2 or s.shape != (v.shape[0], 1):
+        raise ValueError(
+            f"expected (N, D) int8 values + (N, 1) scales, got "
+            f"{v.dtype}{v.shape} / {s.shape}"
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, values=v, scales=s)
+    side = path[:-4] if path.endswith(".npz") else path
+    with open(side + ".json", "w") as f:
+        json.dump(
+            {"image_paths": list(image_paths or []), "texts": list(texts or [])},
+            f, ensure_ascii=False,
+        )
+
+
+def load_index_q8(path: str):
+    """Load a save_index_q8 artifact → (values (N, D) int8 device array,
+    scales (N, 1) fp32 device array, image_paths, texts)."""
+    npz = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz) as data:
+        values = jnp.asarray(data["values"])
+        scales = jnp.asarray(data["scales"])
+    side = npz[:-4] + ".json"
+    image_paths: list = []
+    texts: list = []
+    if os.path.exists(side):
+        with open(side) as f:
+            meta = json.load(f)
+        image_paths = meta.get("image_paths", [])
+        texts = meta.get("texts", [])
+    return values, scales, image_paths, texts

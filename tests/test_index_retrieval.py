@@ -140,6 +140,31 @@ def test_index_append_and_search(rng):
     assert res[0].score == pytest.approx(1.0, abs=1e-5)
 
 
+def test_q8_index_persistence_roundtrip(tmp_path, rng):
+    """save_index_q8/load_index_q8: the quantized form is the durable
+    artifact at HBM scale (fp32 source may not fit to re-quantize from)."""
+    from clip_lora_match_tpu.index.store import load_index_q8, save_index_q8
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        quantize_index_int8,
+        topk_retrieve_q8,
+    )
+
+    emb = rng.normal(size=(48, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    vq, sc = quantize_index_int8(emb)
+    p = str(tmp_path / "q8_index.npz")
+    save_index_q8(p, vq, sc, [f"p{i}" for i in range(48)], [f"t{i}" for i in range(48)])
+    v2, s2, paths, texts = load_index_q8(p)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vq))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(sc))
+    assert paths[7] == "p7" and texts[47] == "t47"
+    s_a, i_a = topk_retrieve_q8(emb[:4], vq, sc, 3)
+    s_b, i_b = topk_retrieve_q8(emb[:4], v2, s2, 3)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    with pytest.raises(ValueError):
+        save_index_q8(p, np.zeros((4, 8), np.float32), np.zeros((4, 1)))
+
+
 def test_search_validation(rng):
     idx = EmbeddingIndex(rng.normal(size=(5, 16)).astype(np.float32))
     si = SearchIndex(idx)
