@@ -696,6 +696,12 @@ def _topk_twopass_impl(
 # The reference has no quantized retrieval (fp32 torch.topk throughout,
 # ref:src/embedding/search.py:96-99); this is a TPU-serving addition.
 
+# Cap on the pass-1 tile-maxima transient (see _topk_q8_impl); 4 GiB keeps
+# the 16M-row × Q=2048 point inside one v5e's 15.75 GiB HBM next to the
+# 7.6 GiB int8 index.
+_Q8_MAXIMA_BYTES = 4 << 30
+_Q8_MIN_CHUNK = 512
+
 
 def quantize_index_int8(
     index: jnp.ndarray,
@@ -733,7 +739,14 @@ def _tilemax_sup_q8_kernel(
     The per-QUERY scale is deliberately NOT applied here: it multiplies whole
     lanes (columns) uniformly and positively, so every per-query ordering
     pass 2 runs on the maxima is invariant to it; pass 3 applies it to the
-    final candidate scores."""
+    final candidate scores.
+
+    Scales arrive as a (1, bn) ROW block and are transposed to (bn, 1) in
+    VMEM (measured supported on v5e). Handing Mosaic the natural (N, 1)
+    column instead makes its operand constraint tile-pad every row to 128
+    lanes — an N×512-byte relayout temp (7.6 GiB at N=16M) that both OOMed
+    the 16M capability point and burned ~4 GB of HBM write traffic per call
+    at 8M. The row form pads only 8 sublanes (32 bytes/row)."""
     if mxu == "int8":
         yi = jax.lax.dot_general(
             idx_ref[...], q_ref[...],
@@ -748,7 +761,7 @@ def _tilemax_sup_q8_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    scores_t = scores_t * sc_ref[...]  # (BN, BQ) * (BN, 1)
+    scores_t = scores_t * sc_ref[...].T  # (BN, BQ) * (1, BN)ᵀ
     bn, bq = scores_t.shape
     m = jnp.max(scores_t.reshape(bn // tile, tile, bq), axis=1)
     out_ref[...] = m
@@ -796,10 +809,12 @@ def _tilemax_sup_q8_pallas(
 
     main_t = sup_t = None
     if n_main > 0:
+        # (1, n_main) row layout: see the kernel docstring's relayout note
+        sc_row = sc[:n_main, 0][None, :]
         blocks = [
             ("q", (bq, D), (qp, D)),
             ("idx", (bn, D), (n_main, D)),
-            ("scale", (bn, 1), (n_main, 1)),
+            ("scale", (1, bn), (1, n_main)),
             ("main_t", (ntb, bq), (nt_main, qp)),
             ("sup_t", (nsb, bq), (nt_main // group, qp)),
         ]
@@ -812,7 +827,7 @@ def _tilemax_sup_q8_pallas(
             in_specs=[
                 pl.BlockSpec((bq, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bn, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((ntb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -826,7 +841,7 @@ def _tilemax_sup_q8_pallas(
             # full arrays, grid covers only the bn-aligned prefix — slicing
             # here would copy the (possibly GB-scale) index (see
             # _tilemax_pallas's no-padding-copy note)
-        )(qq, vq, sc)
+        )(qq, vq, sc_row)
     tail_max = None
     if n_main < N:
         tail = vq[n_main:].astype(jnp.float32).reshape(-1, tile, D)
@@ -970,32 +985,56 @@ def _topk_q8_impl(
             and nt_main_pre // group >= km_pre
         )
     if hier:
-        main_t, sup_t, tail = _tilemax_sup_q8_pallas(
-            qq, values, scales, tile, group, interpret, mxu
-        )
-        nt_main = main_t.shape[0]
+        bn_ = 128 * tile
+        nt_main = (N // bn_) * bn_ // tile
         km = min(k_sel, nt_main)
-        sup = sup_t.T[:Q]
-        _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
-        tids = (
-            sup_ids.astype(jnp.int32)[:, :, None] * group
-            + jnp.arange(group, dtype=jnp.int32)
-        ).reshape(Q, km * group)
-        tvals = jnp.take_along_axis(main_t[:, :Q], tids.T, axis=0).T
-        mv, pos = jax.lax.top_k(tvals, km)
-        mi = jnp.take_along_axis(tids, pos, axis=1)
-        parts_v, parts_i = [mv], [mi]
-        base_tiles = nt_main
-        if tail is not None:
-            t_ids = base_tiles + jax.lax.broadcasted_iota(
-                jnp.int32, (Q, tail.shape[1]), 1
+
+        def _pass12(qq_c):
+            """Passes 1+2 for one query block → candidate tile ids."""
+            Qc = qq_c.shape[0]
+            main_t, sup_t, tail = _tilemax_sup_q8_pallas(
+                qq_c, values, scales, tile, group, interpret, mxu
             )
-            parts_v.append(tail)
-            parts_i.append(t_ids)
-        cand_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=1)
-        cand_i = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=1)
-        _, pos = jax.lax.top_k(cand_v, min(k_sel, cand_v.shape[1]))
-        tile_ids = jnp.take_along_axis(cand_i, pos, axis=1)
+            sup = sup_t.T[:Qc]
+            _, sup_ids = jax.lax.approx_max_k(sup, km, recall_target=1.0)
+            tids = (
+                sup_ids.astype(jnp.int32)[:, :, None] * group
+                + jnp.arange(group, dtype=jnp.int32)
+            ).reshape(Qc, km * group)
+            tvals = jnp.take_along_axis(main_t[:, :Qc], tids.T, axis=0).T
+            mv, pos = jax.lax.top_k(tvals, km)
+            mi = jnp.take_along_axis(tids, pos, axis=1)
+            parts_v, parts_i = [mv], [mi]
+            if tail is not None:
+                t_ids = nt_main + jax.lax.broadcasted_iota(
+                    jnp.int32, (Qc, tail.shape[1]), 1
+                )
+                parts_v.append(tail)
+                parts_i.append(t_ids)
+            cand_v = (parts_v[0] if len(parts_v) == 1
+                      else jnp.concatenate(parts_v, axis=1))
+            cand_i = (parts_i[0] if len(parts_i) == 1
+                      else jnp.concatenate(parts_i, axis=1))
+            _, pos = jax.lax.top_k(cand_v, min(k_sel, cand_v.shape[1]))
+            return jnp.take_along_axis(cand_i, pos, axis=1)
+
+        # Pass 1 materializes an (nt_main, Q) fp32 maxima array; at HBM
+        # scale with large Q it rivals the index itself (16M rows × Q=2048
+        # → 8 GiB, which cannot coexist with the 7.6 GiB index). Chunk the
+        # queries so the transient stays under _Q8_MAXIMA_BYTES; each chunk
+        # re-streams the index, so this only engages when forced.
+        if 4 * nt_main * Q <= _Q8_MAXIMA_BYTES or Q <= _Q8_MIN_CHUNK:
+            tile_ids = _pass12(qq)
+        else:
+            cq = max(
+                _Q8_MIN_CHUNK,
+                (_Q8_MAXIMA_BYTES // (4 * nt_main))
+                // _Q8_MIN_CHUNK * _Q8_MIN_CHUNK,
+            )
+            nc = -(-Q // cq)
+            qq_p = jnp.pad(qq, ((0, nc * cq - Q), (0, 0)))
+            ids = jax.lax.map(_pass12, qq_p.reshape(nc, cq, qq.shape[1]))
+            tile_ids = ids.reshape(nc * cq, -1)[:Q]
     else:
         # XLA fused form: fp32 dot of int-valued floats (exact, see module
         # comment), per-row dequant fused into the consuming max

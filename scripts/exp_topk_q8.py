@@ -9,10 +9,13 @@ Usage: python scripts/exp_topk_q8.py [--n 1000000 4000000 8000000] [--q 2048]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sync(out):

@@ -271,6 +271,28 @@ def test_q8_matches_quantized_oracle(Q, N, D, n_valid, pallas, group, mxu):
     np.testing.assert_array_equal(np.asarray(i), io)
 
 
+def test_q8_query_chunked_pass12_matches_unchunked(monkeypatch):
+    """When the pass-1 maxima transient would exceed the HBM budget, passes
+    1+2 run query-chunked under lax.map (the 16M × Q=2048 capability point's
+    path). Chunking must not change a single result: force a tiny budget so
+    Q=1300 splits into 512-row chunks (with a ragged padded tail) and compare
+    against the unchunked run."""
+    from clip_lora_match_tpu.ops import retrieval_topk as rt
+
+    rng = np.random.default_rng(41)
+    idx = rng.normal(size=(8192, 128)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    qs = rng.normal(size=(1300, 128)).astype(np.float32)
+    vq, sc = rt.quantize_index_int8(jnp.asarray(idx))
+    args = dict(k=10, tile=16, pallas_pass1=True, interpret=True, group=16)
+    s0, i0 = rt.topk_retrieve_q8(jnp.asarray(qs), vq, sc, **args)
+    monkeypatch.setattr(rt, "_Q8_MAXIMA_BYTES", 4 * 512 * 512)
+    # distinct Q avoids the jit cache entry traced with the real budget
+    s1, i1 = rt.topk_retrieve_q8(jnp.asarray(qs[:1299]), vq, sc, **args)
+    np.testing.assert_array_equal(np.asarray(i0)[:1299], np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0)[:1299], np.asarray(s1), rtol=1e-6)
+
+
 def test_q8_recall_vs_fp32_oracle():
     """Quantization is the ONLY approximation: measure top-10 overlap vs the
     fp32 exact oracle at embedding-realistic D=512 (documented in DESIGN
