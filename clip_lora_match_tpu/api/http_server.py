@@ -239,6 +239,7 @@ def create_server(
     data_dir: str = "data",
     index_path: Optional[str] = None,
     use_batch_queue: bool = True,
+    index_quantize: str = "none",
 ) -> ThreadingHTTPServer:
     """Build the service graph and return a ready (unstarted) HTTP server.
 
@@ -254,6 +255,7 @@ def create_server(
         data_dir=data_dir,
         index_path=index_path,
         use_batch_queue=use_batch_queue,
+        index_quantize=index_quantize,
     )
     handler = type("BoundHandler", (_Handler,), {"graph": graph})
     server = ThreadingHTTPServer((host, port), handler)

@@ -55,6 +55,7 @@ def create_app(
     data_dir: str = "data",
     index_path: Optional[str] = None,
     use_batch_queue: bool = True,
+    index_quantize: str = "none",
 ):
     try:
         from fastapi import FastAPI, File, Form, HTTPException, UploadFile
@@ -74,6 +75,7 @@ def create_app(
         data_dir=data_dir,
         index_path=index_path,
         use_batch_queue=use_batch_queue,
+        index_quantize=index_quantize,
     )
     finder, seeker, store = graph.finder, graph.seeker, graph.store
 

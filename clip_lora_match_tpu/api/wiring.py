@@ -38,6 +38,7 @@ def build_services(
     data_dir: str = "data",
     index_path: Optional[str] = None,
     use_batch_queue: bool = True,
+    index_quantize: str = "none",
 ) -> ServiceGraph:
     """One shared encoder + device-resident index behind finder AND seeker
     (the reference constructed two model copies and reloaded the index per
@@ -65,6 +66,8 @@ def build_services(
     if seeker is None:
         # share the finder's device-resident index (ref reloaded per query)
         seeker = SeekerService(
-            encoder, SeekerConfig(index_path=index_path), index=finder.index
+            encoder,
+            SeekerConfig(index_path=index_path, index_quantize=index_quantize),
+            index=finder.index,
         )
     return ServiceGraph(finder=finder, seeker=seeker, store=store, data_dir=data_dir)

@@ -46,6 +46,12 @@ class SeekerConfig:
     # default and the fallback whenever the cropper has no live detector.
     use_device_crop: bool = False
     watch_index_file: bool = True
+    # "int8": serve searches from the quantized index (SearchIndex
+    # quantize="int8" — half/quarter HBM, int8 MXU pass 1; selection exact
+    # over quantized scores). The quantized artifact is cached on the
+    # service's SearchIndex and re-built only when the row count changes
+    # (finder appends / reloads), so steady-state searches pay nothing.
+    index_quantize: str = "none"
 
 
 class SeekerService:
@@ -66,6 +72,12 @@ class SeekerService:
             else EmbeddingIndex.load(self.cfg.index_path)
         )
         self._mtime = self._index_mtime()
+        # persistent search front-end: keeps the q8 artifact (and any future
+        # per-index caches) alive across searches instead of rebuilding per
+        # query like the per-call construction the reference implies
+        self._search = SearchIndex(
+            self.index, self.encoder, quantize=self.cfg.index_quantize
+        )
 
     def _index_mtime(self) -> float:
         path = self.cfg.index_path
@@ -84,6 +96,9 @@ class SeekerService:
         if m > self._mtime:
             self.index = EmbeddingIndex.load(self.cfg.index_path)
             self._mtime = m
+            self._search = SearchIndex(
+                self.index, self.encoder, quantize=self.cfg.index_quantize
+            )
             log.info("reloaded index (%d rows)", len(self.index))
 
     def _device_crop_embed(self, image_path: str) -> Optional[np.ndarray]:
@@ -165,5 +180,4 @@ class SeekerService:
         if k == 0:
             return []
         query = self._build_query_embedding(description, image_path)
-        si = SearchIndex(self.index, self.encoder)
-        return si.search_with_embedding(query, k)
+        return self._search.search_with_embedding(query, k)

@@ -18,6 +18,13 @@ def main():
     p.add_argument("--data-dir", default="data")
     p.add_argument("--db", default=None)
     p.add_argument(
+        "--index-quantize",
+        choices=["none", "int8"],
+        default="none",
+        help="serve searches from an int8-quantized index (half/quarter "
+        "HBM, int8 MXU retrieval; selection exact over quantized scores)",
+    )
+    p.add_argument(
         "--binding",
         choices=["auto", "fastapi", "stdlib"],
         default="auto",
@@ -47,7 +54,10 @@ def main():
 
         from clip_lora_match_tpu.api.main import create_app
 
-        app = create_app(encoder=encoder, store=store, data_dir=args.data_dir)
+        app = create_app(
+            encoder=encoder, store=store, data_dir=args.data_dir,
+            index_quantize=args.index_quantize,
+        )
         uvicorn.run(app, host=args.host, port=args.port)
     else:
         from clip_lora_match_tpu.api.http_server import create_server
@@ -58,6 +68,7 @@ def main():
             encoder=encoder,
             store=store,
             data_dir=args.data_dir,
+            index_quantize=args.index_quantize,
         )
         print(
             f"[serve] stdlib binding listening on "

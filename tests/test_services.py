@@ -73,6 +73,31 @@ def test_report_then_search_roundtrip(env):
     assert "sepatu futsal hijau, ditemukan di lapangan" in descs
 
 
+def test_seeker_int8_index_matches_fp(env, tiny_encoder):  # noqa: F811
+    """index_quantize='int8' serves from the quantized index: same top-1 as
+    the fp path on well-separated items, q8 cache invalidated by finder
+    appends through the SHARED index object (the production wiring)."""
+    paths, store, finder, _, tmp = env
+    seeker = SeekerService(
+        tiny_encoder,
+        SeekerConfig(index_path=finder.cfg.index_path, index_quantize="int8"),
+        index=finder.index,
+    )
+    finder.report_item(paths[0], "tas jansport warna pink", location="parkiran")
+    finder.report_item(paths[1], "kaca mata pink ungu", location="gk 1")
+    r1 = seeker.search_items(description="tas jansport warna pink, ditemukan di parkiran")
+    assert r1[0].index == 0
+    # append AFTER the first q8 search: the cached artifact must refresh
+    finder.report_item(paths[2], "sepatu futsal hijau", location="lapangan")
+    r2 = seeker.search_items(description="sepatu futsal hijau, ditemukan di lapangan", k=3)
+    assert r2[0].index == 2
+    fp = SeekerService(
+        tiny_encoder, SeekerConfig(index_path=finder.cfg.index_path),
+        index=finder.index,
+    ).search_items(description="sepatu futsal hijau, ditemukan di lapangan", k=3)
+    assert [x.index for x in r2] == [x.index for x in fp]
+
+
 def test_db_row_parity_with_reference(env):
     """ref:finder_service.py:187-199 stores the location-joined full_text as
     the DB description and defaults found_at to now() — NULL found_at would
