@@ -877,10 +877,23 @@ def topk_retrieve_q8(
 
     Selection is EXACT over the quantized scores; returned scores are the
     quantized cosine approximations (|err| ≲ 2·D·s_q·s_n/2 per dot — in
-    practice ≤ ~1e-2 absolute on normalized embeddings).
+    practice ≤ ~1e-2 absolute on normalized embeddings). Requires D ≤ 1024
+    (127²·D < 2²⁴ keeps every fp32 rescore bit-exact vs the int8 pass 1);
+    wider embeddings must use the fp32/bf16 paths.
     """
     if mxu not in ("int8", "bf16"):
         raise ValueError(f"bad mxu mode {mxu!r}")
+    # Exactness premise: every int8×int8 partial sum must be exactly
+    # representable in fp32 so the XLA fp32 forms (tail dot, pass 3, tiny-N
+    # oracle) agree bit-for-bit with the int8 MXU pass 1. 127²·D < 2²⁴
+    # requires D ≤ 1040; beyond that a true top-k row can be rounded out
+    # near ties, silently voiding the documented "selection EXACT" contract.
+    if queries.shape[1] > 1024:
+        raise ValueError(
+            f"topk_retrieve_q8 requires D <= 1024 (got D={queries.shape[1]}): "
+            "int8 dot sums exceed 2^24 and the fp32 rescore is no longer "
+            "bit-exact vs pass 1. Use topk_retrieve/topk_retrieve_twopass."
+        )
     N = values.shape[0]
     k = min(k, N)
     nt = -(-N // tile)
@@ -1036,13 +1049,15 @@ def _topk_q8_impl(
             ids = jax.lax.map(_pass12, qq_p.reshape(nc, cq, qq.shape[1]))
             tile_ids = ids.reshape(nc * cq, -1)[:Q]
     else:
-        # XLA fused form: fp32 dot of int-valued floats (exact, see module
-        # comment), per-row dequant fused into the consuming max
+        # XLA fused form: native s8×s8→s32 dot (no dequantized-index
+        # transient — an fp32 cast of the index would be a 4× HBM blowup at
+        # scale). Sums fit in 2^24 (D ≤ 1024 enforced above) so the fp32
+        # cast of the int32 scores is bit-identical to the fp32-of-ints
+        # forms used by pass 3 and the tiny-N oracle.
         scores = jax.lax.dot_general(
-            qq.astype(jnp.float32), vq3.astype(jnp.float32),
-            (((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Q, nt, tile)
+            qq, vq3, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (Q, nt, tile)
         tile_max = (scores * sc3[None]).max(axis=2)
         _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
         tile_ids = tile_ids.astype(jnp.int32)

@@ -65,18 +65,31 @@ class SearchIndex:
 
     def _q8_state(self):
         """(values, scales) for the current index rows; caller holds the lock."""
-        if self._q8 is None or self._q8[0] != len(self.index):
-            import jax.numpy as jnp
+        n = len(self.index)
+        if self._q8 is not None and self._q8[0] == n:
+            return self._q8[1], self._q8[2]
+        import jax.numpy as jnp
 
-            from clip_lora_match_tpu.ops.retrieval_topk import (
-                quantize_index_int8,
+        from clip_lora_match_tpu.ops.retrieval_topk import quantize_index_int8
+
+        if self._q8 is not None and 0 < self._q8[0] < n:
+            # EmbeddingIndex is append-only (live rows are never rewritten)
+            # and per-row scales are independent, so growth only needs the
+            # NEW rows quantized — an int8 byte-copy concat instead of a
+            # full O(N·D) requantize whose fp32 cast transient (multi-GB at
+            # production scale) would stall every search after an append.
+            n0, vq0, sc0 = self._q8
+            vq1, sc1 = quantize_index_int8(
+                self.index.embeddings[n0:].astype(jnp.float32)
             )
-
+            vq = jnp.concatenate([vq0, vq1])
+            sc = jnp.concatenate([sc0, sc1])
+        else:
             vq, sc = quantize_index_int8(
                 self.index.embeddings.astype(jnp.float32)
             )
-            self._q8 = (len(self.index), vq, sc)
-        return self._q8[1], self._q8[2]
+        self._q8 = (n, vq, sc)
+        return vq, sc
 
     def _topk(self, queries_2d: np.ndarray, k: int):
         """Dispatch one (Q, D) batch under the index lock."""

@@ -167,6 +167,13 @@ def main():
         return topk_retrieve_q8(qs, vq, sc, 10, group=16)
     run_topk_q8()
 
+    @smoke("topk q8 N=40960 non-hier s8xs8 XLA dot")
+    def run_topk_q8_flat():
+        # the 65k-983k-band dispatch (hier gate closed): native int8 dot,
+        # no dequantized-index transient
+        return topk_retrieve_q8(qs, vq, sc, 10, group=0)
+    run_topk_q8_flat()
+
     # --- LoRA train step (plain-XLA towers, the training dispatch) ---
     if os.environ.get("CLM_SMOKE_SKIP_TRAIN") != "1":
         prev = set_kernel_flags(

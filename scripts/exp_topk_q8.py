@@ -11,38 +11,18 @@ Usage: python scripts/exp_topk_q8.py [--n 1000000 4000000 8000000] [--q 2048]
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _sync(out):
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    leaf.block_until_ready()
-    np.asarray(leaf)
+from _common import paired_burst_time  # noqa: E402  (scripts/ dir on sys.path)
 
 
 def bench(fn, args, iters=4, warmup=1, label=""):
-    import time
-
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(3 * iters):
-        out = fn(*args)
-    _sync(out)
-    t_large = time.perf_counter() - t0
-    per = max((t_large - t_small) / (2 * iters), 1e-9)
+    """One home for the sync/burst discipline: scripts/_common.py."""
+    per = paired_burst_time(fn, args, iters=iters, warmup=warmup)
     print(f"  {label}: {per * 1e3:.2f} ms/iter", file=sys.stderr, flush=True)
     return per
 

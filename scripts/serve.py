@@ -72,7 +72,11 @@ def main():
         )
         print(
             f"[serve] stdlib binding listening on "
-            f"http://{server.server_address[0]}:{server.server_address[1]}"
+            f"http://{server.server_address[0]}:{server.server_address[1]}",
+            # Wrappers (and the CLI smoke test) parse this line through a
+            # pipe; without an explicit flush it sits in the block buffer
+            # until process exit whenever stdout is not a tty.
+            flush=True,
         )
         try:
             server.serve_forever()

@@ -126,6 +126,61 @@ def test_search_index_quantize_int8(rng):
         SearchIndex(index, quantize="int4")
 
 
+def test_q8_cache_appends_incrementally(rng, monkeypatch):
+    """Growth must quantize ONLY the new rows (EmbeddingIndex is
+    append-only; a full requantize's fp32 cast transient would stall every
+    search after an append at production scale) and match a from-scratch
+    rebuild bit-for-bit."""
+    import clip_lora_match_tpu.ops.retrieval_topk as rt
+
+    emb = rng.normal(size=(48, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = EmbeddingIndex(dim=64)
+    for i in range(40):
+        index.append(emb[i], f"p{i}", f"t{i}")
+    q8 = SearchIndex(index, quantize="int8")
+    with index.lock:
+        q8._q8_state()  # warm: full quantize of the first 40 rows
+
+    rows_quantized = []
+    real = rt.quantize_index_int8
+
+    def counting(x, *a, **kw):
+        rows_quantized.append(x.shape[0])
+        return real(x, *a, **kw)
+
+    monkeypatch.setattr(
+        "clip_lora_match_tpu.ops.retrieval_topk.quantize_index_int8", counting
+    )
+    for i in range(40, 48):
+        index.append(emb[i], f"p{i}", f"t{i}")
+    with index.lock:
+        vq, sc = q8._q8_state()
+    assert rows_quantized == [8], rows_quantized  # the 8 new rows, once
+    fresh = SearchIndex(index, quantize="int8")
+    with index.lock:
+        vq_f, sc_f = fresh._q8_state()
+    np.testing.assert_array_equal(np.asarray(vq), np.asarray(vq_f))
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_f))
+    assert q8.search_with_embedding(emb[44], k=1)[0].index == 44
+
+
+def test_q8_rejects_wide_embeddings(rng):
+    """D > 1024 voids the int8 exactness premise (127²·D ≥ 2²⁴): the kernel
+    must refuse rather than silently mis-rank near ties."""
+    from clip_lora_match_tpu.ops.retrieval_topk import (
+        quantize_index_int8,
+        topk_retrieve_q8,
+    )
+
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(64, 2048)).astype(np.float32)
+    vq, sc = quantize_index_int8(jnp.asarray(x))
+    with pytest.raises(ValueError, match="D <= 1024"):
+        topk_retrieve_q8(jnp.asarray(x[:4]), vq, sc, 5)
+
+
 def test_index_append_and_search(rng):
     idx = EmbeddingIndex(dim=16)
     assert len(idx) == 0

@@ -138,11 +138,20 @@ def test_serve_cli_stdlib_binding(tmp_path):
     import time
     import urllib.request
 
+    # stderr goes to a file, not a pipe: a chatty encoder init (>64 KB of
+    # JAX/absl warnings) would fill an undrained pipe and deadlock the child
+    # before it ever prints the port banner.
+    stderr_path = tmp_path / "serve.stderr"
+    stderr_f = stderr_path.open("w")
+    # Drop PYTHONUNBUFFERED so this test exercises serve.py's explicit
+    # banner flush (block-buffered stdout is what wrappers parsing the
+    # port line through a pipe actually see).
+    env = {k: v for k, v in ENV.items() if k != "PYTHONUNBUFFERED"}
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--binding", "stdlib",
          "--host", "127.0.0.1", "--port", "0",
          "--db", str(tmp_path / "serve.sqlite")],
-        cwd=REPO, env=ENV, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=stderr_f,
         text=True,
     )
     try:
@@ -159,7 +168,7 @@ def test_serve_cli_stdlib_binding(tmp_path):
                 port = int(m.group(1))
                 break
         assert port, f"server never announced a port; rc={proc.poll()} " \
-                     f"stderr={proc.stderr.read()[-800:]}"
+                     f"stderr={stderr_path.read_text()[-800:]}"
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/health", timeout=30
         ) as resp:
@@ -171,3 +180,4 @@ def test_serve_cli_stdlib_binding(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+        stderr_f.close()
