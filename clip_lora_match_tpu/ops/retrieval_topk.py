@@ -219,6 +219,14 @@ def topk_retrieve_reference(
 # Threshold sits just under the N=1M main width.
 HIER_GROUP = 16
 HIER_MIN_TILES = 61_440
+# The q8 path's hier gate fires much earlier than bf16's: its only flat
+# alternative is the XLA dequantize-dot (no non-hier Pallas pass 1), which
+# the fused int8 hier kernel overtakes well below the bf16 crossover.
+# Measured full-path on v5e (Q=2048, same-process interleaved, 2 trials):
+# N=131k flat 252k vs hier 244k qps (tie), N=262k hier 208k vs 157k,
+# N=393k hier 218k vs 130k, N=500k hier 178k vs 114k, N=983k hier 139k vs
+# 60k. 16_384 tiles = 262,144 rows at tile=16.
+Q8_HIER_MIN_TILES = 16_384
 
 
 def topk_retrieve_twopass(
@@ -939,7 +947,7 @@ def topk_retrieve_q8(
     if group is None:
         bn = 128 * tile
         nt_main = ((N // bn) * bn) // tile
-        group = HIER_GROUP if pallas_pass1 and nt_main >= HIER_MIN_TILES else 0
+        group = HIER_GROUP if pallas_pass1 and nt_main >= Q8_HIER_MIN_TILES else 0
     elif group > 1 and 128 % group != 0:
         raise ValueError(f"group={group} must divide 128")
     return _topk_q8_impl(
@@ -1049,15 +1057,19 @@ def _topk_q8_impl(
             ids = jax.lax.map(_pass12, qq_p.reshape(nc, cq, qq.shape[1]))
             tile_ids = ids.reshape(nc * cq, -1)[:Q]
     else:
-        # XLA fused form: native s8×s8→s32 dot (no dequantized-index
-        # transient — an fp32 cast of the index would be a 4× HBM blowup at
-        # scale). Sums fit in 2^24 (D ≤ 1024 enforced above) so the fp32
-        # cast of the int32 scores is bit-identical to the fp32-of-ints
-        # forms used by pass 3 and the tiny-N oracle.
+        # XLA fused form: fp32 dot of int-valued floats — exact (D ≤ 1024
+        # keeps every sum < 2²⁴; int8 values are exact even through the
+        # MXU's default bf16 operand rounding). Fastest flat form measured
+        # on v5e (pass 1 only, N=131k/Q=2048): fp32 662k qps vs 398k
+        # (native s8×s8→s32) and 371k (bf16 cast) — scripts/
+        # exp_q8_flat_dot.py. The fp32 index transient is bounded by the
+        # hier gate at Q8_HIER_MIN_TILES (≤512 MB at D=512); above it
+        # pass 1 streams int8 and never dequantizes.
         scores = jax.lax.dot_general(
-            qq, vq3, (((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)  # (Q, nt, tile)
+            qq.astype(jnp.float32), vq3.astype(jnp.float32),
+            (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, nt, tile)
         tile_max = (scores * sc3[None]).max(axis=2)
         _, tile_ids = jax.lax.approx_max_k(tile_max, k_sel, recall_target=1.0)
         tile_ids = tile_ids.astype(jnp.int32)

@@ -167,10 +167,10 @@ def main():
         return topk_retrieve_q8(qs, vq, sc, 10, group=16)
     run_topk_q8()
 
-    @smoke("topk q8 N=40960 non-hier s8xs8 XLA dot")
+    @smoke("topk q8 N=40960 non-hier XLA dot")
     def run_topk_q8_flat():
-        # the 65k-983k-band dispatch (hier gate closed): native int8 dot,
-        # no dequantized-index transient
+        # the sub-Q8_HIER_MIN_TILES dispatch (hier gate closed): fp32
+        # dequantize-dot of int-valued floats
         return topk_retrieve_q8(qs, vq, sc, 10, group=0)
     run_topk_q8_flat()
 
